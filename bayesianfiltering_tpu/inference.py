@@ -1,0 +1,727 @@
+"""Filter entry points — the public inference API.
+
+Entry-point parity with the reference's ``gaussfiltax/inference.py``:
+
+=====================================   =====================================
+this module                             reference
+=====================================   =====================================
+gaussian_sum_filter                     inference.py:303-377
+unscented_gaussian_sum_filter           inference.py:379-456
+augmented_gaussian_sum_filter           inference.py:458-619
+speedy_augmented_gaussian_sum_filter    inference.py:621-812
+unscented_agsf                          inference.py:814-964
+speedy_unscented_agsf                   inference.py:966-1155
+augmented_gaussian_sum_filter_optimal   inference.py:1157-1300
+bootstrap_particle_filter               inference.py:1302-1381
+extended_kalman_filter (new)            (the M=1 fast path; BASELINE config 2)
+unscented_kalman_filter (new)           (the M=1 fast path)
+=====================================   =====================================
+
+Design notes (TPU-first, SURVEY.md §7):
+
+* Every filter is a single `lax.scan` over time of batched (vmapped) step
+  primitives from :mod:`bayesianfiltering_tpu.ops`; mixtures are
+  struct-of-arrays (:mod:`bayesianfiltering_tpu.containers`), so trace size
+  is independent of component counts. The reference's pytree-branching AGSF
+  and its "speedy" rewrite collapse to ONE implementation here — the names
+  are kept as aliases.
+* Component splitting is a batched Cholesky + matmul
+  (:func:`containers.split_gaussian_sum`), reduction is resampling on sorted
+  cumulative weights.
+* PRNG discipline: the reference reuses the *same* key every scan step and
+  reseeds resampling with ``jr.PRNGKey(0)`` inside the step
+  (ref: gaussfiltax/inference.py:521,566,766,914,1112), i.e. identical
+  randomness at every timestep. Default behavior here folds the step index
+  into the filter key (independent randomness per step); pass
+  ``compat_fixed_keys=True`` to reproduce the reference pattern.
+* The splitting covariances Δ/Λ ("autocov", ref: inference.py:226-301) are
+  selected by a strategy enum ``autocov ∈ {"prop", "eye", "sdp", "trace"}``
+  instead of commented-out code blocks; "prop" (Δ = α·P) is the reference's
+  active branch.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, NamedTuple, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+from jax import jacfwd, jacrev, lax, vmap
+
+from bayesianfiltering_tpu import containers
+from bayesianfiltering_tpu import utils
+from bayesianfiltering_tpu.containers import GaussianSum, split_gaussian_sum
+from bayesianfiltering_tpu.distributions import mvn_logpdf, mvn_sample
+from bayesianfiltering_tpu.models.params import ParamsBPF, ParamsNLSSM
+from bayesianfiltering_tpu.ops import ekf as _ekf
+from bayesianfiltering_tpu.ops import ukf as _ukf
+from bayesianfiltering_tpu.ops.ukf import ParamsUKF
+from bayesianfiltering_tpu.types import PRNGKey
+from bayesianfiltering_tpu.utils.resampling import (
+    effective_sample_size,
+    get_resampler,
+    multinomial_resample,
+    optimal_resampling,
+)
+
+# ---------------------------------------------------------------------------
+# Helpers (ref: gaussfiltax/inference.py:21-27)
+# ---------------------------------------------------------------------------
+
+def _get_params(x, dim, t):
+    """Per-step slice of an optionally time-varying parameter stack."""
+    return x[t] if x.ndim == dim + 1 else x
+
+
+def _process_input(inputs, num_timesteps):
+    return jnp.zeros((num_timesteps, 1)) if inputs is None else inputs
+
+
+def swap_axes_on_values(outputs: Dict, axis1: int = 0, axis2: int = 1) -> Dict:
+    return {k: jnp.swapaxes(v, axis1, axis2) for k, v in outputs.items()}
+
+
+def _step_key(base_key: PRNGKey, t, compat_fixed: bool) -> PRNGKey:
+    """Per-step key: fold in t by default; reference reuses base_key."""
+    return base_key if compat_fixed else jr.fold_in(base_key, t)
+
+
+def _jacobians(params: ParamsNLSSM):
+    f, h = params.dynamics_function, params.emission_function
+    return (
+        f,
+        h,
+        jacfwd(f, argnums=0),
+        jacfwd(h, argnums=0),
+        jacfwd(f, argnums=1),
+        jacfwd(h, argnums=1),
+    )
+
+
+def _slice_noise(params: ParamsNLSSM, t):
+    Q = _get_params(params.dynamics_noise_covariance, 2, t)
+    q0 = _get_params(params.dynamics_noise_bias, 1, t)
+    R = _get_params(params.emission_noise_covariance, 2, t)
+    r0 = _get_params(params.emission_noise_bias, 1, t)
+    return Q, q0, R, r0
+
+
+# ---------------------------------------------------------------------------
+# Posterior containers
+# ---------------------------------------------------------------------------
+
+class PosteriorGaussianSumFiltered(NamedTuple):
+    """Marginals of the Gaussian-sum filtering posterior
+    (ref: gaussfiltax/inference.py:29-39, plus a marginal likelihood)."""
+
+    weights: Optional[jax.Array] = None
+    means: Optional[jax.Array] = None
+    covariances: Optional[jax.Array] = None
+    predicted_means: Optional[jax.Array] = None
+    predicted_covariances: Optional[jax.Array] = None
+    marginal_loglik: Optional[jax.Array] = None
+
+
+class PosteriorGaussianFiltered(NamedTuple):
+    """Single-Gaussian (EKF/UKF) filtering posterior."""
+
+    marginal_loglik: jax.Array
+    filtered_means: jax.Array
+    filtered_covariances: jax.Array
+    predicted_means: jax.Array
+    predicted_covariances: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# EKF / UKF (single-Gaussian fast paths)
+# ---------------------------------------------------------------------------
+
+def extended_kalman_filter(
+    params: ParamsNLSSM,
+    emissions: jax.Array,
+    num_iter: int = 1,
+    inputs: Optional[jax.Array] = None,
+    jitter: float = 0.0,
+) -> PosteriorGaussianFiltered:
+    """First-order EKF for non-additive-noise nonlinear SSMs.
+
+    The M=1 specialization of :func:`gaussian_sum_filter` without mixture
+    bookkeeping: update-then-predict per step, marginal log-likelihood
+    accumulated from the innovation density. Differentiable in ``params``
+    (used by ``NonlinearSSM.fit_sgd``).
+    """
+    num_timesteps = len(emissions)
+    f, h, F_x, H_x, F_q, H_r = _jacobians(params)
+    inputs = _process_input(inputs, num_timesteps)
+
+    def step(carry, t):
+        m_pred, P_pred, ll = carry
+        Q, q0, R, r0 = _slice_noise(params, t)
+        u, y = inputs[t], emissions[t]
+        upd = _ekf.ekf_condition_on_iterated(
+            m_pred, P_pred, h, H_x, H_r, R, r0, u, y, num_iter, jitter
+        )
+        m_next, P_next, _ = _ekf.ekf_predict(upd.mean, upd.cov, f, F_x, F_q, Q, q0, u)
+        carry = (m_next, P_next, ll + upd.log_likelihood)
+        return carry, (upd.mean, upd.cov, m_next, P_next)
+
+    init = (params.initial_mean, params.initial_covariance, jnp.zeros(()))
+    (_, _, ll), (fm, fP, pm, pP) = lax.scan(step, init, jnp.arange(num_timesteps))
+    return PosteriorGaussianFiltered(ll, fm, fP, pm, pP)
+
+
+def unscented_kalman_filter(
+    params: ParamsNLSSM,
+    uparams: ParamsUKF,
+    emissions: jax.Array,
+    inputs: Optional[jax.Array] = None,
+    additive: bool = False,
+) -> PosteriorGaussianFiltered:
+    """UKF for nonlinear SSMs; ``additive=True`` selects the additive-noise
+    quadrature (fewer sigma points), otherwise state-noise augmentation."""
+    num_timesteps = len(emissions)
+    f, h = params.dynamics_function, params.emission_function
+    inputs = _process_input(inputs, num_timesteps)
+    if additive:
+        predict, condition = _ukf.ukf_predict_additive, _ukf.ukf_condition_on_additive
+    else:
+        predict, condition = (
+            _ukf.ukf_predict_nonadditive,
+            _ukf.ukf_condition_on_nonadditive,
+        )
+
+    def step(carry, t):
+        m_pred, P_pred, ll = carry
+        Q, q0, R, r0 = _slice_noise(params, t)
+        u, y = inputs[t], emissions[t]
+        ll_t, m_filt, P_filt = condition(m_pred, P_pred, h, R, u, y, uparams, r0)
+        m_next, P_next = predict(m_filt, P_filt, f, u, Q, uparams, q0)
+        return (m_next, P_next, ll + ll_t), (m_filt, P_filt, m_next, P_next)
+
+    init = (params.initial_mean, params.initial_covariance, jnp.zeros(()))
+    (_, _, ll), (fm, fP, pm, pP) = lax.scan(step, init, jnp.arange(num_timesteps))
+    return PosteriorGaussianFiltered(ll, fm, fP, pm, pP)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian-sum filters (banks of EKFs / UKFs)
+# ---------------------------------------------------------------------------
+
+def _init_mixture(params: ParamsNLSSM, num_components: int, key: PRNGKey):
+    """Initial mixture: M means sampled from the initial distribution,
+    shared initial covariance, uniform weights
+    (ref: gaussfiltax/inference.py:367-369)."""
+    means = mvn_sample(key, params.initial_mean, params.initial_covariance,
+                       (num_components,))
+    covs = jnp.broadcast_to(
+        params.initial_covariance,
+        (num_components,) + params.initial_covariance.shape,
+    )
+    weights = jnp.full((num_components,), 1.0 / num_components,
+                       dtype=means.dtype)
+    return weights, means, covs
+
+
+def _reweight(lls, weights):
+    """Max-stabilized multiplicative weight update; also returns the
+    incremental marginal likelihood log Σ_m w_m exp(ll_m)."""
+    shift = jnp.max(lls)
+    unnorm = weights * jnp.exp(lls - shift)
+    total = jnp.sum(unnorm)
+    step_loglik = jnp.log(total) + shift
+    return unnorm / total, step_loglik
+
+
+def gaussian_sum_filter(
+    params: ParamsNLSSM,
+    emissions: jax.Array,
+    num_components: int = 1,
+    num_iter: int = 1,
+    inputs: Optional[jax.Array] = None,
+    key: PRNGKey = None,
+    jitter: float = 0.0,
+) -> PosteriorGaussianSumFiltered:
+    """Gaussian-sum filter: a bank of M (iterated) EKFs
+    (ref: gaussfiltax/inference.py:303-377).
+
+    ``key`` seeds the initial component means (the reference hard-codes
+    ``jr.PRNGKey(0)``, which remains the default).
+    """
+    num_timesteps = len(emissions)
+    f, h, F_x, H_x, F_q, H_r = _jacobians(params)
+    inputs = _process_input(inputs, num_timesteps)
+    if key is None:
+        key = jr.PRNGKey(0)
+
+    v_update = vmap(
+        _ekf.ekf_condition_on_iterated,
+        in_axes=(0, 0, None, None, None, None, None, None, None, None, None),
+    )
+    v_predict = vmap(_ekf.ekf_predict, in_axes=(0, 0, None, None, None, None, None, None))
+
+    def step(carry, t):
+        weights, pred_means, pred_covs, ll = carry
+        Q, q0, R, r0 = _slice_noise(params, t)
+        u, y = inputs[t], emissions[t]
+
+        upd = v_update(pred_means, pred_covs, h, H_x, H_r, R, r0, u, y,
+                       num_iter, jitter)
+        weights, step_ll = _reweight(upd.log_likelihood, weights)
+        pred_means, pred_covs, _ = v_predict(upd.mean, upd.cov, f, F_x, F_q, Q, q0, u)
+
+        carry = (weights, pred_means, pred_covs, ll + step_ll)
+        outputs = {
+            "means": upd.mean,
+            "covariances": upd.cov,
+            "predicted_means": pred_means,
+            "predicted_covariances": pred_covs,
+            "weights": weights,
+        }
+        return carry, outputs
+
+    w0, m0, P0 = _init_mixture(params, num_components, key)
+    (_, _, _, marginal_ll), outputs = lax.scan(
+        step, (w0, m0, P0, jnp.zeros(())), jnp.arange(num_timesteps)
+    )
+    outputs = swap_axes_on_values(outputs)
+    return PosteriorGaussianSumFiltered(marginal_loglik=marginal_ll, **outputs)
+
+
+def unscented_gaussian_sum_filter(
+    params: ParamsNLSSM,
+    uparams: ParamsUKF,
+    emissions: jax.Array,
+    num_components: int = 1,
+    num_iter: int = 1,
+    inputs: Optional[jax.Array] = None,
+    key: PRNGKey = None,
+) -> PosteriorGaussianSumFiltered:
+    """Gaussian-sum filter with UKF moments
+    (ref: gaussfiltax/inference.py:379-456)."""
+    num_timesteps = len(emissions)
+    f, h = params.dynamics_function, params.emission_function
+    inputs = _process_input(inputs, num_timesteps)
+    if key is None:
+        key = jr.PRNGKey(0)
+
+    v_update = vmap(
+        _ukf.ukf_condition_on_nonadditive,
+        in_axes=(0, 0, None, None, None, None, None, None),
+    )
+    v_predict = vmap(
+        _ukf.ukf_predict_nonadditive, in_axes=(0, 0, None, None, None, None, None)
+    )
+
+    def step(carry, t):
+        weights, pred_means, pred_covs, ll = carry
+        Q, q0, R, r0 = _slice_noise(params, t)
+        u, y = inputs[t], emissions[t]
+
+        lls, f_means, f_covs = v_update(pred_means, pred_covs, h, R, u, y, uparams, r0)
+        weights, step_ll = _reweight(lls, weights)
+        pred_means, pred_covs = v_predict(f_means, f_covs, f, u, Q, uparams, q0)
+
+        carry = (weights, pred_means, pred_covs, ll + step_ll)
+        outputs = {
+            "means": f_means,
+            "covariances": f_covs,
+            "predicted_means": pred_means,
+            "predicted_covariances": pred_covs,
+            "weights": weights,
+        }
+        return carry, outputs
+
+    w0, m0, P0 = _init_mixture(params, num_components, key)
+    (_, _, _, marginal_ll), outputs = lax.scan(
+        step, (w0, m0, P0, jnp.zeros(())), jnp.arange(num_timesteps)
+    )
+    outputs = swap_axes_on_values(outputs)
+    return PosteriorGaussianSumFiltered(marginal_loglik=marginal_ll, **outputs)
+
+
+# ---------------------------------------------------------------------------
+# Augmented Gaussian-sum filters (AGSF family)
+# ---------------------------------------------------------------------------
+
+def _select_split_cov(
+    strategy: str,
+    alpha,
+    means,
+    covs,
+    jacobian: Callable,
+    hessian: Callable,
+    num_splits: int,
+    bias,
+    u,
+):
+    """Splitting-covariance selection ("autocov",
+    ref: gaussfiltax/inference.py:226-301). Batched over components.
+
+    Strategies: "prop" Δ=α·P (the reference's active branch, ref :255,295);
+    "eye" Δ=α·I; "sdp" the fixed-point SDP solver (ref commented branch 1a);
+    "trace" the Hessian-trace-scaled proportional rule (ref branch 4).
+    """
+    if strategy == "prop":
+        return alpha * covs
+    if strategy == "eye":
+        dx = covs.shape[-1]
+        return jnp.broadcast_to(alpha * jnp.eye(dx, dtype=covs.dtype), covs.shape)
+    if strategy == "sdp":
+        def one(m, P):
+            H = hessian(m, bias, u)
+            J = jacobian(m, bias, u)
+            return utils.sdp_opt(P.shape[-1], num_splits, P, J, H, alpha)
+        return vmap(one)(means, covs)
+    if strategy == "trace":
+        def one(m, P):
+            H = jnp.reshape(hessian(m, bias, u), (-1,) + P.shape)
+            denom = jnp.sum(jnp.trace(H @ P, axis1=-2, axis2=-1))
+            scale = jnp.minimum(1.0, alpha * jnp.trace(P) / denom)
+            return scale * P
+        return vmap(one)(means, covs)
+    raise ValueError(f"unknown autocov strategy {strategy!r}")
+
+
+def _agsf_engine(
+    params: ParamsNLSSM,
+    emissions: jax.Array,
+    num_components: Sequence[int],
+    rng_key: PRNGKey,
+    opt_args: Tuple[float, float],
+    inputs: Optional[jax.Array],
+    moments: str,
+    uparams: Optional[ParamsUKF],
+    reduction: str,
+    autocov: str,
+    num_iter: int,
+    compat_fixed_keys: bool,
+    jitter: float,
+):
+    """Shared AGSF scan: split → predict → split → update → reduce.
+
+    One struct-of-arrays implementation covers the reference's pytree AGSF,
+    its "speedy" rewrite, and both UKF variants
+    (ref: gaussfiltax/inference.py:458-1155).
+    """
+    M, N, L = int(num_components[0]), int(num_components[1]), int(num_components[2])
+    num_timesteps = len(emissions)
+    f, h, F_x, H_x, F_q, H_r = _jacobians(params)
+    F_xx, H_xx = jacrev(F_x), jacrev(H_x)
+    inputs = _process_input(inputs, num_timesteps)
+    alpha0, alpha1 = opt_args
+
+    use_ekf = moments == "ekf"
+    if use_ekf:
+        v_predict = vmap(
+            _ekf.ekf_predict, in_axes=(0, 0, None, None, None, None, None, None)
+        )
+        v_update = vmap(
+            _ekf.ekf_condition_on,
+            in_axes=(0, 0, None, None, None, None, None, None, None, None),
+        )
+    else:
+        v_predict = vmap(
+            _ukf.ukf_predict_nonadditive,
+            in_axes=(0, 0, None, None, None, None, None),
+        )
+        v_update = vmap(
+            _ukf.ukf_condition_on_nonadditive,
+            in_axes=(0, 0, None, None, None, None, None, None),
+        )
+
+    def step(carry, t):
+        means, covs, weights = carry
+        Q, q0, R, r0 = _slice_noise(params, t)
+        u, y = inputs[t], emissions[t]
+        key_t = _step_key(rng_key, t, compat_fixed_keys)
+        key_split1, key_split2, key_reduce = jr.split(key_t, 3)
+        if compat_fixed_keys:
+            # Reference resamples with a fresh PRNGKey(0) inside every step
+            # (ref: gaussfiltax/inference.py:566,766).
+            key_reduce = jr.PRNGKey(0)
+
+        # -- autocov 1 + branch 1: M -> M*N --------------------------------
+        deltas = _select_split_cov(
+            autocov, alpha0, means, covs, F_x, F_xx, N, q0, u
+        )
+        mixture = GaussianSum(means, covs, weights)
+        to_predict = split_gaussian_sum(key_split1, mixture, deltas, N)
+
+        # -- predict --------------------------------------------------------
+        if use_ekf:
+            pred_means, pred_covs, grads_dyn = v_predict(
+                to_predict.means, to_predict.covariances, f, F_x, F_q, Q, q0, u
+            )
+        else:
+            pred_means, pred_covs = v_predict(
+                to_predict.means, to_predict.covariances, f, u, Q, uparams, q0
+            )
+            grads_dyn = None
+        pred_weights = to_predict.weights
+
+        # -- autocov 2 + branch 2: M*N -> M*N*L ------------------------------
+        lambdas = _select_split_cov(
+            autocov, alpha1, pred_means, pred_covs, H_x, H_xx, L, r0, u
+        )
+        predicted = GaussianSum(pred_means, pred_covs, pred_weights)
+        to_update = split_gaussian_sum(key_split2, predicted, lambdas, L)
+
+        # -- update -----------------------------------------------------------
+        if use_ekf:
+            upd = v_update(
+                to_update.means, to_update.covariances, h, H_x, H_r, R, r0, u, y,
+                jitter,
+            )
+            lls, upd_means, upd_covs = upd.log_likelihood, upd.mean, upd.cov
+            grads_obs, gain = upd.jacobian, upd.gain
+        else:
+            lls, upd_means, upd_covs = v_update(
+                to_update.means, to_update.covariances, h, R, u, y, uparams, r0
+            )
+            grads_obs = gain = None
+        new_weights, step_ll = _reweight(lls, to_update.weights)
+        pre_weights = new_weights
+
+        # -- reduce M*N*L -> M -------------------------------------------------
+        updated = GaussianSum(upd_means, upd_covs, new_weights)
+        reduced = containers.reduce_gaussian_sum(updated, M, key_reduce, reduction)
+
+        carry = (reduced.means, reduced.covariances, reduced.weights)
+        outputs = {
+            "weights": reduced.weights,
+            "means": reduced.means,
+            "covariances": reduced.covariances,
+        }
+        aux = {
+            "Deltas": deltas,
+            "Lambdas": lambdas,
+            "updated_means": upd_means,
+            "pre_weights": pre_weights,
+            "step_loglik": step_ll,
+        }
+        if use_ekf:
+            aux.update(grads_dyn=grads_dyn, grads_obs=grads_obs, gain=gain)
+        return carry, (outputs, aux)
+
+    w0, m0, P0 = _init_mixture(params, M, jr.PRNGKey(0))
+    carry = (m0, P0, w0)
+    _, (outputs, aux) = lax.scan(step, carry, jnp.arange(num_timesteps))
+    outputs = swap_axes_on_values(outputs)
+    marginal_ll = jnp.sum(aux.pop("step_loglik"))
+    posterior = PosteriorGaussianSumFiltered(
+        outputs["weights"],
+        outputs["means"],
+        outputs["covariances"],
+        marginal_loglik=marginal_ll,
+    )
+    return posterior, aux
+
+
+def augmented_gaussian_sum_filter(
+    params: ParamsNLSSM,
+    emissions: jax.Array,
+    num_components: Sequence[int],
+    rng_key: PRNGKey = None,
+    num_iter: int = 1,
+    opt_args: Tuple[float, float] = (0.1, 0.1),
+    inputs: Optional[jax.Array] = None,
+    autocov: str = "prop",
+    compat_fixed_keys: bool = False,
+    jitter: float = 0.0,
+):
+    """Augmented Gaussian-sum filter (AGSF) with EKF moments.
+
+    Per step: select splitting covariances Δ (autocov), branch each of the M
+    components into N, EKF-predict, select Λ, branch into L, EKF-update,
+    reweight, and resample back to M components
+    (ref: gaussfiltax/inference.py:458-619). The reference's separate
+    pytree-based and "speedy" implementations are numerically the same
+    algorithm; this package has only the struct-of-arrays implementation.
+
+    Returns ``(posterior, aux_outputs)`` where ``aux_outputs`` carries the
+    per-step Deltas/Lambdas/gradients/gain/pre-resampling weights
+    (ref: gaussfiltax/inference.py:592-601; the reference's "timing" entry is
+    dropped — it recorded trace-time constants, see SURVEY.md §5.1).
+    """
+    if rng_key is None:
+        rng_key = jr.PRNGKey(0)
+    return _agsf_engine(
+        params, emissions, num_components, rng_key, opt_args, inputs,
+        moments="ekf", uparams=None, reduction="multinomial", autocov=autocov,
+        num_iter=num_iter, compat_fixed_keys=compat_fixed_keys, jitter=jitter,
+    )
+
+
+# The reference's vectorized rewrite (ref: gaussfiltax/inference.py:621-812)
+# is this package's only implementation; keep the name as an alias.
+speedy_augmented_gaussian_sum_filter = augmented_gaussian_sum_filter
+
+
+def unscented_agsf(
+    params: ParamsNLSSM,
+    uparams: ParamsUKF,
+    emissions: jax.Array,
+    num_components: Sequence[int],
+    rng_key: PRNGKey = None,
+    num_iter: int = 1,
+    opt_args: Tuple[float, float] = (0.1, 0.1),
+    inputs: Optional[jax.Array] = None,
+    autocov: str = "prop",
+    compat_fixed_keys: bool = False,
+):
+    """AGSF with unscented moments (ref: gaussfiltax/inference.py:814-964)."""
+    if rng_key is None:
+        rng_key = jr.PRNGKey(0)
+    return _agsf_engine(
+        params, emissions, num_components, rng_key, opt_args, inputs,
+        moments="ukf", uparams=uparams, reduction="multinomial",
+        autocov=autocov, num_iter=num_iter,
+        compat_fixed_keys=compat_fixed_keys, jitter=0.0,
+    )
+
+
+speedy_unscented_agsf = unscented_agsf
+
+
+def augmented_gaussian_sum_filter_optimal(
+    params: ParamsNLSSM,
+    emissions: jax.Array,
+    num_components: Sequence[int],
+    rng_key: PRNGKey = None,
+    num_iter: int = 1,
+    opt_args: Tuple[float, float] = (0.1, 0.1),
+    inputs: Optional[jax.Array] = None,
+    autocov: str = "prop",
+    compat_fixed_keys: bool = False,
+    jitter: float = 0.0,
+):
+    """AGSF whose reduction uses Fearnhead–Clifford optimal resampling:
+    heavy components survive deterministically, light ones are resampled
+    (ref: gaussfiltax/inference.py:1157-1300)."""
+    if rng_key is None:
+        rng_key = jr.PRNGKey(0)
+    return _agsf_engine(
+        params, emissions, num_components, rng_key, opt_args, inputs,
+        moments="ekf", uparams=None, reduction="optimal", autocov=autocov,
+        num_iter=num_iter, compat_fixed_keys=compat_fixed_keys, jitter=jitter,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap particle filter
+# ---------------------------------------------------------------------------
+
+def bootstrap_particle_filter(
+    params: ParamsBPF,
+    emissions: jax.Array,
+    num_particles: int,
+    key: PRNGKey = None,
+    inputs: Optional[jax.Array] = None,
+    ess_threshold: float = 0.5,
+    resampler: str = "systematic",
+    store: str = "all",
+) -> Dict[str, jax.Array]:
+    """Bootstrap PF with ESS-adaptive resampling
+    (ref: gaussfiltax/inference.py:1302-1381).
+
+    TPU-first changes vs the reference: particle propagation samples the
+    dynamics noise as ONE batched Cholesky draw instead of a vmap of
+    per-particle MVN constructions; weights are tracked in log space; the
+    default resampler is systematic (single uniform + parallel cumsum;
+    ``resampler="multinomial"`` recovers the reference behavior).
+
+    ``store="all"`` returns time-major ``{"weights": (T, P), "particles":
+    (T, P, dx)}`` like the reference; ``store="summary"`` returns
+    ``{"means": (T, dx), "ess": (T,)}`` — at 1M particles the full history
+    does not fit in HBM.
+    """
+    if key is None:
+        key = jr.PRNGKey(0)
+    num_timesteps = len(emissions)
+    f = params.dynamics_function
+    inputs = _process_input(inputs, num_timesteps)
+    resample_fn = get_resampler(resampler)
+
+    log_prob_fn = params.emission_distribution_log_prob
+    v_log_prob = vmap(log_prob_fn, in_axes=(0, None, None))
+    v_dyn = vmap(f, in_axes=(0, 0, None))
+
+    def step(carry, t):
+        log_weights, particles, key = carry
+        Q, q0, R, r0 = _slice_noise(params, t)
+        u, y = inputs[t], emissions[t]
+        key, key_prop, key_res = jr.split(key, 3)
+
+        # Propagate: one batched noise draw + vmapped dynamics.
+        q = mvn_sample(key_prop, q0, Q, (num_particles,))
+        new_particles = v_dyn(particles, q, u)
+
+        # Weight in log space.
+        lls = v_log_prob(new_particles, y, u)
+        log_weights = log_weights + lls
+        log_norm = jax.scipy.special.logsumexp(log_weights)
+        log_weights = log_weights - log_norm
+        weights = jnp.exp(log_weights)
+
+        # ESS-adaptive resampling (ref: gaussfiltax/inference.py:1355-1357).
+        ess = effective_sample_size(weights)
+
+        def do_resample(args):
+            w, p = args
+            idx = resample_fn(key_res, w, num_particles)
+            return (
+                jnp.full((num_particles,), -jnp.log(num_particles), w.dtype),
+                jnp.take(p, idx, axis=0),
+            )
+
+        def no_resample(args):
+            w, p = args
+            return jnp.log(w), p
+
+        log_weights, new_particles = lax.cond(
+            ess < ess_threshold * num_particles,
+            do_resample,
+            no_resample,
+            (weights, new_particles),
+        )
+        weights = jnp.exp(log_weights)
+
+        carry = (log_weights, new_particles, key)
+        if store == "all":
+            outputs = {"weights": weights, "particles": new_particles}
+        else:
+            outputs = {
+                "means": weights @ new_particles,
+                "ess": ess,
+            }
+        return carry, outputs
+
+    key, key_init = jr.split(key)
+    particles = mvn_sample(
+        key_init, params.initial_mean, params.initial_covariance, (num_particles,)
+    )
+    log_weights = jnp.full((num_particles,), -jnp.log(num_particles))
+    carry = (log_weights, particles, key)
+
+    _, outputs = lax.scan(step, carry, jnp.arange(num_timesteps))
+    if store == "all":
+        outputs = swap_axes_on_values(outputs)
+    return outputs
+
+
+__all__ = [
+    "ParamsUKF",
+    "PosteriorGaussianSumFiltered",
+    "PosteriorGaussianFiltered",
+    "extended_kalman_filter",
+    "unscented_kalman_filter",
+    "gaussian_sum_filter",
+    "unscented_gaussian_sum_filter",
+    "augmented_gaussian_sum_filter",
+    "speedy_augmented_gaussian_sum_filter",
+    "unscented_agsf",
+    "speedy_unscented_agsf",
+    "augmented_gaussian_sum_filter_optimal",
+    "bootstrap_particle_filter",
+]

@@ -1,0 +1,72 @@
+"""Parameter containers for nonlinear state-space models.
+
+Field-for-field parity with the reference NamedTuples
+(ref: gaussfiltax/models.py:26-84): a :class:`ParamsNLSSM` fully specifies a
+non-additive-noise nonlinear SSM
+
+    x_t = f(x_{t-1}, q_t, u_t),   q_t ~ N(q0, Q)
+    y_t = h(x_t,     r_t, u_t),   r_t ~ N(r0, R)
+    x_1 ~ N(m, S)
+
+and :class:`ParamsBPF` extends it with an arbitrary emission log-density for
+particle filtering. Noise covariances may optionally carry a leading time
+axis (time-varying Q/R), resolved per-step by the filters.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Union
+
+import jax
+
+from bayesianfiltering_tpu.distributions import mvn_sample
+from bayesianfiltering_tpu.types import PRNGKey
+
+# Function-signature aliases (ref: gaussfiltax/models.py:20-23).
+FnStateToState = Callable
+FnStateAndInputToState = Callable
+FnStateToEmission = Callable
+FnStateAndInputToEmission = Callable
+
+
+class ParamsNLSSM(NamedTuple):
+    """Nonlinear SSM parameters (ref: gaussfiltax/models.py:26-51)."""
+
+    initial_mean: jax.Array
+    initial_covariance: jax.Array
+    dynamics_function: Union[FnStateToState, FnStateAndInputToState]
+    dynamics_noise_bias: jax.Array
+    dynamics_noise_covariance: jax.Array
+    emission_function: Union[FnStateToEmission, FnStateAndInputToEmission]
+    emission_noise_bias: jax.Array
+    emission_noise_covariance: jax.Array
+
+
+class ParamsBPF(NamedTuple):
+    """Bootstrap-PF parameters (ref: gaussfiltax/models.py:55-84)."""
+
+    initial_mean: jax.Array
+    initial_covariance: jax.Array
+    dynamics_function: Union[FnStateToState, FnStateAndInputToState]
+    dynamics_noise_bias: jax.Array
+    dynamics_noise_covariance: jax.Array
+    emission_function: Union[FnStateToEmission, FnStateAndInputToEmission]
+    emission_noise_bias: jax.Array
+    emission_noise_covariance: jax.Array
+    emission_distribution_log_prob: Callable
+
+    def sample_dynamics_distribution(self, key: PRNGKey, x: jax.Array, u):
+        """Propagate one particle: q ~ N(q0, Q), then f(x, q, u)
+        (ref: gaussfiltax/models.py:82-84)."""
+        q = mvn_sample(key, self.dynamics_noise_bias,
+                       self.dynamics_noise_covariance)
+        return self.dynamics_function(x, q, u)
+
+
+__all__ = [
+    "ParamsNLSSM",
+    "ParamsBPF",
+    "FnStateToState",
+    "FnStateAndInputToState",
+    "FnStateToEmission",
+    "FnStateAndInputToEmission",
+]

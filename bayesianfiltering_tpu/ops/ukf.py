@@ -1,0 +1,162 @@
+"""Unscented-transform step primitives (additive and non-additive noise).
+
+Math parity with the reference UKF primitives
+(ref: gaussfiltax/inference.py:122-224). The reference folds the unscented
+weights into inline arithmetic with the 2n non-center sigma points from
+``utils._get_sigma_points`` and the center point handled analytically; that
+scheme equals the textbook UT with
+``W₀ᵐ = λ/(n+λ)``, ``Wᵢᵐ = 1/(2(n+λ))``, ``W₀ᶜ = W₀ᵐ + 1 − α² + β``.
+
+Conscious fix: the reference's *additive* predict computes the center-point
+covariance term as ``(f(m)−μ) @ (f(m)−μ).T`` (ref:
+gaussfiltax/inference.py:143), which for 1-D arrays is an inner product —
+a scalar — rather than the intended outer product (its non-additive sibling
+uses ``einsum('i,j->ij', ...)`` at :173). We implement the intended outer
+product everywhere.
+
+TPU notes: sigma-point propagation is a single ``vmap`` (2n or 2(n+nq) rows,
+batched again over mixture components by the callers); covariance
+accumulation is one ``einsum`` contraction that XLA maps onto the MXU.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import vmap
+
+from bayesianfiltering_tpu.utils.linalg import symmetrize
+from bayesianfiltering_tpu.utils.sigma_points import sigma_points
+import math
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+class ParamsUKF(NamedTuple):
+    """Unscented-transform parameters (ref: gaussfiltax/inference.py:41-49)."""
+
+    alpha: float = 1e-3
+    beta: float = 2.0
+    kappa: float = 0.0
+
+
+def _ut_moments(center_out, pts_out, lamda, n_aug, alpha, beta):
+    """Mean/cov of the transformed distribution from 2n points + center."""
+    denom = 2.0 * (lamda + n_aug)
+    mu = jnp.sum(pts_out, axis=0) / denom + center_out * (lamda / (lamda + n_aug))
+    centered = pts_out - mu
+    w0c = lamda / (lamda + n_aug) + 1.0 - alpha**2 + beta
+    cov = jnp.einsum("ij,ik->jk", centered, centered) / denom + w0c * jnp.outer(
+        center_out - mu, center_out - mu
+    )
+    return mu, cov, centered
+
+
+def _augment(m, P, bias, noise_cov):
+    """Stack state and noise into one augmented Gaussian (block-diagonal)."""
+    dx = m.shape[-1]
+    dn = bias.shape[-1]
+    mA = jnp.concatenate([m, bias])
+    PA = jnp.zeros((dx + dn, dx + dn), dtype=P.dtype)
+    PA = PA.at[:dx, :dx].set(P).at[dx:, dx:].set(noise_cov)
+    return mA, PA
+
+
+def ukf_predict_additive(
+    m, P, f: Callable, u, Q, uparams: ParamsUKF, q0
+) -> Tuple[jax.Array, jax.Array]:
+    """UT predict, additive noise (ref: gaussfiltax/inference.py:122-144)."""
+    dx = m.shape[-1]
+    # Additive noise enters as +q; evaluate at the zero noise point like the
+    # reference (ref: gaussfiltax/inference.py:136) regardless of the bias arg.
+    q0 = jnp.zeros((dx,), dtype=m.dtype)
+    lamda = uparams.alpha**2 * (dx + uparams.kappa) - dx
+    pts = sigma_points(m, P, lamda)
+    new_pts = vmap(f, in_axes=(0, None, None))(pts, q0, u)
+    center = f(m, q0, u)
+    mu, cov, _ = _ut_moments(center, new_pts, lamda, dx, uparams.alpha, uparams.beta)
+    return mu, symmetrize(cov + Q)
+
+
+def ukf_predict_nonadditive(
+    m, P, f: Callable, u, Q, uparams: ParamsUKF, q0
+) -> Tuple[jax.Array, jax.Array]:
+    """UT predict, non-additive noise via state-noise augmentation
+    (ref: gaussfiltax/inference.py:146-174)."""
+    dx = m.shape[-1]
+    nq = q0.shape[-1]
+    n_aug = dx + nq
+    lamda = uparams.alpha**2 * (n_aug + uparams.kappa) - n_aug
+    mA, PA = _augment(m, P, q0, Q)
+    pts = sigma_points(mA, PA, lamda)
+    fA = lambda xA, uu: f(xA[:dx], xA[dx:], uu)
+    new_pts = vmap(fA, in_axes=(0, None))(pts, u)
+    center = f(m, q0, u)
+    mu, cov, _ = _ut_moments(center, new_pts, lamda, n_aug, uparams.alpha, uparams.beta)
+    return mu, symmetrize(cov)
+
+
+def ukf_condition_on_additive(
+    m, P, h: Callable, R, u, y, uparams: ParamsUKF, r0=None
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """UT measurement update, additive noise
+    (ref: gaussfiltax/inference.py:176-196). Returns (ll, mean, cov)."""
+    dx = m.shape[-1]
+    y = jnp.atleast_1d(y)
+    r0 = jnp.zeros(y.shape[-1], dtype=m.dtype)
+    lamda = uparams.alpha**2 * (dx + uparams.kappa) - dx
+    pts = sigma_points(m, P, lamda)
+    new_pts = vmap(h, in_axes=(0, None, None))(pts, r0, u)
+    center = h(m, r0, u)
+    mu_y, S, centered = _ut_moments(center, new_pts, lamda, dx, uparams.alpha,
+                                    uparams.beta)
+    S = symmetrize(S + R)
+    C = jnp.einsum("ij,ik->jk", centered, pts - m) / (2.0 * (lamda + dx))
+    return _ukf_gain_update(m, P, mu_y, S, C, y)
+
+
+def ukf_condition_on_nonadditive(
+    m, P, h: Callable, R, u, y, uparams: ParamsUKF, r0=None
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """UT measurement update, non-additive noise via augmentation
+    (ref: gaussfiltax/inference.py:198-224). Returns (ll, mean, cov)."""
+    dx = m.shape[-1]
+    nr = r0.shape[-1]
+    n_aug = dx + nr
+    y = jnp.atleast_1d(y)
+    lamda = uparams.alpha**2 * (n_aug + uparams.kappa) - n_aug
+    mA, PA = _augment(m, P, r0, R)
+    pts = sigma_points(mA, PA, lamda)
+    hA = lambda xA, uu: h(xA[:dx], xA[dx:], uu)
+    new_pts = vmap(hA, in_axes=(0, None))(pts, u)
+    center = h(m, r0, u)
+    mu_y, S, centered = _ut_moments(center, new_pts, lamda, n_aug, uparams.alpha,
+                                    uparams.beta)
+    S = symmetrize(S)
+    C = jnp.einsum("ij,ik->jk", centered, pts[:, :dx] - m) / (2.0 * (lamda + n_aug))
+    return _ukf_gain_update(m, P, mu_y, S, C, y)
+
+
+def _ukf_gain_update(m, P, mu_y, S, C, y):
+    """Shared Cholesky gain/likelihood: K = (S⁻¹C)ᵀ, Σ = P − K S Kᵀ."""
+    dy = y.shape[-1]
+    chol = jnp.linalg.cholesky(S)
+    tmp = jax.scipy.linalg.solve_triangular(chol, C, lower=True)
+    K = jax.scipy.linalg.solve_triangular(chol, tmp, lower=True, trans=1).T
+    posterior_cov = symmetrize(P - K @ S @ K.T)
+    innov = y - mu_y
+    posterior_mean = m + K @ innov
+    z = jax.scipy.linalg.solve_triangular(chol, innov, lower=True)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    ll = -0.5 * (dy * _LOG_2PI + logdet + jnp.sum(jnp.square(z)))
+    return ll, posterior_mean, posterior_cov
+
+
+__all__ = [
+    "ParamsUKF",
+    "ukf_predict_additive",
+    "ukf_predict_nonadditive",
+    "ukf_condition_on_additive",
+    "ukf_condition_on_nonadditive",
+]

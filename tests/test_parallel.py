@@ -1,0 +1,92 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4 item d)."""
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+import bayesianfiltering_tpu.inference as gf
+from bayesianfiltering_tpu.models import zoo
+from bayesianfiltering_tpu.parallel import (
+    batched_filter,
+    make_mesh,
+    sharded_bootstrap_particle_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh((8,), ("batch",))
+
+
+@pytest.fixture(scope="module")
+def particle_mesh():
+    return make_mesh((8,), ("particle",))
+
+
+class TestBatchedFilter:
+    def test_batched_ekf_matches_loop(self, mesh8):
+        model, params, _ = zoo.linear_gaussian(2, 2)
+        B, T = 16, 20
+        keys = jr.split(jr.PRNGKey(0), B)
+        emissions = jnp.stack(
+            [model.sample(params, k, T)[1] for k in keys]
+        )
+        out = batched_filter(
+            gf.extended_kalman_filter, params, emissions, mesh=mesh8
+        )
+        assert out.filtered_means.shape == (B, T, 2)
+        # spot-check one sequence against the single-sequence filter
+        single = gf.extended_kalman_filter(params, emissions[3])
+        np.testing.assert_allclose(out.filtered_means[3],
+                                   single.filtered_means, rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_batched_filter_no_mesh(self):
+        model, params, _ = zoo.linear_gaussian(2, 2)
+        emissions = jnp.stack(
+            [model.sample(params, jr.PRNGKey(i), 10)[1] for i in range(4)]
+        )
+        out = batched_filter(gf.extended_kalman_filter, params, emissions)
+        assert out.filtered_means.shape == (4, 10, 2)
+
+
+class TestShardedBPF:
+    def test_sharded_bpf_tracks_kalman(self, particle_mesh):
+        model, params, bpf_params = zoo.linear_gaussian(2, 2, r=0.5)
+        _, emissions = model.sample(params, jr.PRNGKey(1), 30)
+        out = sharded_bootstrap_particle_filter(
+            bpf_params, emissions, 4096, particle_mesh, key=jr.PRNGKey(2)
+        )
+        assert out["means"].shape == (30, 2)
+        assert out["ess"].shape == (30,)
+        from bayesianfiltering_tpu.ops import kalman_filter
+
+        kf = kalman_filter(zoo.linear_gaussian_lgssm(2, 2, r=0.5), emissions)
+        err = float(jnp.max(jnp.abs(out["means"] - kf.filtered_means)))
+        assert err < 0.4, err
+
+    def test_sharded_bpf_gather_mode(self, particle_mesh):
+        model, params, bpf_params = zoo.linear_gaussian(2, 2, r=0.5)
+        _, emissions = model.sample(params, jr.PRNGKey(1), 15)
+        out = sharded_bootstrap_particle_filter(
+            bpf_params, emissions, 1024, particle_mesh, key=jr.PRNGKey(2),
+            resampling_mode="gather",
+        )
+        assert bool(jnp.all(jnp.isfinite(out["means"])))
+        assert bool(jnp.all(out["ess"] > 0)), "ESS must stay positive"
+
+    def test_sharded_matches_single_device_statistics(self, particle_mesh):
+        """Sharded and single-device BPF agree statistically (different key
+        streams, same posterior): compare means within MC error."""
+        model, params, bpf_params = zoo.linear_gaussian(2, 2, r=0.5)
+        _, emissions = model.sample(params, jr.PRNGKey(3), 20)
+        sharded = sharded_bootstrap_particle_filter(
+            bpf_params, emissions, 8192, particle_mesh, key=jr.PRNGKey(4)
+        )
+        single = gf.bootstrap_particle_filter(
+            bpf_params, emissions, 8192, jr.PRNGKey(5), store="summary"
+        )
+        err = float(jnp.max(jnp.abs(sharded["means"] - single["means"])))
+        assert err < 0.3, err
