@@ -51,6 +51,7 @@ from jax import jacfwd, jacrev, lax, vmap
 
 from bayesianfiltering_tpu import containers
 from bayesianfiltering_tpu import utils
+from bayesianfiltering_tpu.config import with_matmul_precision
 from bayesianfiltering_tpu.containers import GaussianSum, split_gaussian_sum
 from bayesianfiltering_tpu.distributions import mvn_logpdf, mvn_sample
 from bayesianfiltering_tpu.models.params import ParamsBPF, ParamsNLSSM
@@ -137,6 +138,7 @@ class PosteriorGaussianFiltered(NamedTuple):
 # EKF / UKF (single-Gaussian fast paths)
 # ---------------------------------------------------------------------------
 
+@with_matmul_precision
 def extended_kalman_filter(
     params: ParamsNLSSM,
     emissions: jax.Array,
@@ -171,6 +173,7 @@ def extended_kalman_filter(
     return PosteriorGaussianFiltered(ll, fm, fP, pm, pP)
 
 
+@with_matmul_precision
 def unscented_kalman_filter(
     params: ParamsNLSSM,
     uparams: ParamsUKF,
@@ -233,6 +236,7 @@ def _reweight(lls, weights):
     return unnorm / total, step_loglik
 
 
+@with_matmul_precision
 def gaussian_sum_filter(
     params: ParamsNLSSM,
     emissions: jax.Array,
@@ -288,6 +292,7 @@ def gaussian_sum_filter(
     return PosteriorGaussianSumFiltered(marginal_loglik=marginal_ll, **outputs)
 
 
+@with_matmul_precision
 def unscented_gaussian_sum_filter(
     params: ParamsNLSSM,
     uparams: ParamsUKF,
@@ -518,6 +523,7 @@ def _agsf_engine(
     return posterior, aux
 
 
+@with_matmul_precision
 def augmented_gaussian_sum_filter(
     params: ParamsNLSSM,
     emissions: jax.Array,
@@ -558,6 +564,7 @@ def augmented_gaussian_sum_filter(
 speedy_augmented_gaussian_sum_filter = augmented_gaussian_sum_filter
 
 
+@with_matmul_precision
 def unscented_agsf(
     params: ParamsNLSSM,
     uparams: ParamsUKF,
@@ -584,6 +591,7 @@ def unscented_agsf(
 speedy_unscented_agsf = unscented_agsf
 
 
+@with_matmul_precision
 def augmented_gaussian_sum_filter_optimal(
     params: ParamsNLSSM,
     emissions: jax.Array,
@@ -612,6 +620,7 @@ def augmented_gaussian_sum_filter_optimal(
 # Bootstrap particle filter
 # ---------------------------------------------------------------------------
 
+@with_matmul_precision
 def bootstrap_particle_filter(
     params: ParamsBPF,
     emissions: jax.Array,

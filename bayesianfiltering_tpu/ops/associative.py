@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax, vmap
 
+from bayesianfiltering_tpu.config import with_matmul_precision
 from bayesianfiltering_tpu.ops.linear import ParamsLGSSM, PosteriorKalman, _biases
 from bayesianfiltering_tpu.utils.linalg import psd_solve, symmetrize
 
@@ -83,6 +84,7 @@ def _combine(elem_left, elem_right):
     return A, b, C, J, eta
 
 
+@with_matmul_precision
 def parallel_kalman_filter(params: ParamsLGSSM, emissions: jax.Array) -> PosteriorKalman:
     """Log-depth Kalman filter; matches :func:`kalman_filter` outputs
     (filtered means/covariances; predicted moments derived by one extra

@@ -59,18 +59,34 @@ def ekf_predict(
     return mu_pred, Sigma_pred, Fx
 
 
+# Relative floor added to the innovation covariance diagonal. A few ULPs of
+# the largest diagonal entry: invisible numerically, but keeps the Cholesky
+# alive when f32 rounding drives a collapsed S slightly indefinite. (The
+# reference gets accidental regularization from adding the scalar 1e-6 to
+# every entry of S, ref: gaussfiltax/utils.py:258 — an absolute perturbation
+# that is enormous next to its R=2.5e-5 BOT noise; this is the principled
+# version.)
+_REL_JITTER = 1e-6
+
+
 def _chol_update(P, Hx, Hr, R, m, y, yhat, jitter: float):
     """Shared innovation-form update given linearization (Hx, Hr) at m."""
     dy = y.shape[-1] if y.ndim else 1
-    S = symmetrize(Hr @ R @ Hr.T + Hx @ P @ Hx.T)
-    if jitter:
-        S = S + jitter * jnp.eye(S.shape[-1], dtype=S.dtype)
+    Rt = Hr @ R @ Hr.T
+    S = symmetrize(Rt + Hx @ P @ Hx.T)
+    floor = _REL_JITTER * jnp.max(jnp.abs(jnp.diagonal(S, axis1=-2, axis2=-1)))
+    S = S + (jitter + floor) * jnp.eye(S.shape[-1], dtype=S.dtype)
     chol = jnp.linalg.cholesky(S)
     # Gain via two triangular solves on the shared factor: K = (S^{-1} Hx P)^T
     hp = Hx @ P
     tmp = jax.scipy.linalg.solve_triangular(chol, hp, lower=True)
     K = jax.scipy.linalg.solve_triangular(chol, tmp, lower=True, trans=1).T
-    posterior_cov = symmetrize(P - K @ S @ K.T)
+    # Joseph-form covariance downdate: algebraically equal to P − K S Kᵀ but
+    # PSD by construction — the difference form goes indefinite under f32
+    # cancellation when S is tiny (e.g. the BOT bearing noise R=2.5e-5),
+    # which is how the reference's filters NaN out on that model.
+    A = jnp.eye(P.shape[-1], dtype=P.dtype) - K @ Hx
+    posterior_cov = symmetrize(A @ P @ A.T + K @ Rt @ K.T)
     innov = jnp.atleast_1d(y) - jnp.atleast_1d(yhat)
     posterior_mean = m + K @ innov
     # log N(y | yhat, S) on the same factor

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from bayesianfiltering_tpu.config import with_matmul_precision
 from bayesianfiltering_tpu.utils.linalg import psd_solve, symmetrize
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -56,6 +57,7 @@ def _biases(params: ParamsLGSSM):
     return c, d
 
 
+@with_matmul_precision
 def kalman_filter(params: ParamsLGSSM, emissions: jax.Array) -> PosteriorKalman:
     """Standard Kalman filter over ``emissions`` of shape (T, dy).
 
@@ -91,6 +93,7 @@ def kalman_filter(params: ParamsLGSSM, emissions: jax.Array) -> PosteriorKalman:
     return PosteriorKalman(ll, fm, fP, pm, pP)
 
 
+@with_matmul_precision
 def kalman_smoother(params: ParamsLGSSM, emissions: jax.Array) -> PosteriorKalman:
     """Rauch–Tung–Striebel smoother built on :func:`kalman_filter`."""
     post = kalman_filter(params, emissions)

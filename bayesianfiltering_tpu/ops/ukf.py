@@ -140,7 +140,11 @@ def ukf_condition_on_nonadditive(
 
 def _ukf_gain_update(m, P, mu_y, S, C, y):
     """Shared Cholesky gain/likelihood: K = (S⁻¹C)ᵀ, Σ = P − K S Kᵀ."""
+    from bayesianfiltering_tpu.ops.ekf import _REL_JITTER
+
     dy = y.shape[-1]
+    floor = _REL_JITTER * jnp.max(jnp.abs(jnp.diagonal(S)))
+    S = S + floor * jnp.eye(dy, dtype=S.dtype)
     chol = jnp.linalg.cholesky(S)
     tmp = jax.scipy.linalg.solve_triangular(chol, C, lower=True)
     K = jax.scipy.linalg.solve_triangular(chol, tmp, lower=True, trans=1).T
