@@ -35,6 +35,10 @@ from bayesianfiltering_tpu import inference as inference
 from bayesianfiltering_tpu import models as models
 from bayesianfiltering_tpu import ops as ops
 from bayesianfiltering_tpu import parallel as parallel
+from bayesianfiltering_tpu import streaming as streaming
+from bayesianfiltering_tpu import diagnostics as diagnostics
+from bayesianfiltering_tpu import legacy as legacy
+from bayesianfiltering_tpu import config as config
 
 from bayesianfiltering_tpu.models import (
     ParamsNLSSM,
@@ -52,6 +56,10 @@ __all__ = [
     "models",
     "ops",
     "parallel",
+    "streaming",
+    "diagnostics",
+    "legacy",
+    "config",
     "ParamsNLSSM",
     "ParamsBPF",
     "NonlinearSSM",

@@ -1,0 +1,106 @@
+"""Observability: profiling, benchmarking, and numerical-failure detection.
+
+TPU-native replacements for the reference's ad-hoc practices (SURVEY.md §5):
+the committed one-off xplane trace (§5.1) becomes a ``trace`` context
+manager around real ``jax.profiler`` runs; the trace-time ``time.time``
+deltas baked into scan bodies become :func:`benchmark`
+(``block_until_ready``-based, compile excluded); the silent NaN guards
+become :func:`check_finite` / the ``debug_nans`` context.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BenchmarkResult(NamedTuple):
+    best: float          # best steady-state wall-clock (s)
+    mean: float
+    compile_time: float  # first-call wall-clock (compile + run)
+    num_runs: int
+
+    def steps_per_sec(self, num_steps: int) -> float:
+        return num_steps / self.best
+
+
+def benchmark(fn: Callable, *args, num_runs: int = 3, jit: bool = True,
+              **kwargs) -> BenchmarkResult:
+    """Time ``fn(*args)`` correctly on an async backend.
+
+    Jits once, runs to completion (``block_until_ready``) for the compile
+    measurement, then takes best/mean of ``num_runs`` steady-state calls —
+    the discipline the reference's in-scan ``time.time()`` deltas violate
+    (they record trace-time constants, ref: gaussfiltax/inference.py:598).
+    """
+    run = jax.jit(fn) if jit else fn
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(*args, **kwargs))
+    compile_time = time.perf_counter() - t0
+    times = []
+    for _ in range(num_runs):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(*args, **kwargs))
+        times.append(time.perf_counter() - t0)
+    return BenchmarkResult(min(times), sum(times) / len(times), compile_time,
+                           num_runs)
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture an XLA profiler trace (TensorBoard xplane) around a block.
+
+    The reference repo ships exactly one such trace as a committed artifact
+    (ref: trace/plugins/profile/.../Kostass-MBP.xplane.pb) with no code
+    producing it; this is the reproducible version.
+    """
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def debug_nans(enable: bool = True):
+    """Raise on the first NaN produced inside the block (jax_debug_nans)."""
+    prev = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", enable)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)
+
+
+def check_finite(tree, name: str = "pytree") -> None:
+    """Host-side assertion that every leaf of ``tree`` is finite.
+
+    Explicit failure detection for filter outputs — the reference's policy
+    is to silently mask NaNs (ref: gaussfiltax/containers.py:83) or filter
+    NaN rows out of experiment results.
+    """
+    bad = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        arr = jnp.asarray(leaf)
+        if jnp.issubdtype(arr.dtype, jnp.floating) and not bool(
+            jnp.all(jnp.isfinite(arr))
+        ):
+            bad.append(jax.tree_util.keystr(path))
+    if bad:
+        raise FloatingPointError(f"non-finite values in {name} at: {bad}")
+
+
+def ess_diagnostics(weights: jax.Array) -> dict:
+    """Weight-health metrics for mixture/particle banks: ESS, max weight,
+    entropy."""
+    w = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    ess = 1.0 / jnp.sum(jnp.square(w), axis=-1)
+    entropy = -jnp.sum(jnp.where(w > 0, w * jnp.log(w), 0.0), axis=-1)
+    return {"ess": ess, "max_weight": jnp.max(w, axis=-1), "entropy": entropy}
+
+
+__all__ = ["BenchmarkResult", "benchmark", "trace", "debug_nans",
+           "check_finite", "ess_diagnostics"]
