@@ -41,8 +41,7 @@ Design notes (TPU-first, SURVEY.md §7):
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Dict, NamedTuple, Optional, Sequence, Tuple, Union
+from typing import Callable, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +52,7 @@ from bayesianfiltering_tpu import containers
 from bayesianfiltering_tpu import utils
 from bayesianfiltering_tpu.config import with_matmul_precision
 from bayesianfiltering_tpu.containers import GaussianSum, split_gaussian_sum
-from bayesianfiltering_tpu.distributions import mvn_logpdf, mvn_sample
+from bayesianfiltering_tpu.distributions import mvn_sample
 from bayesianfiltering_tpu.models.params import ParamsBPF, ParamsNLSSM
 from bayesianfiltering_tpu.ops import ekf as _ekf
 from bayesianfiltering_tpu.ops import ukf as _ukf
@@ -62,8 +61,6 @@ from bayesianfiltering_tpu.types import PRNGKey
 from bayesianfiltering_tpu.utils.resampling import (
     effective_sample_size,
     get_resampler,
-    multinomial_resample,
-    optimal_resampling,
 )
 
 # ---------------------------------------------------------------------------

@@ -34,11 +34,18 @@ _LOG_2PI = math.log(2.0 * math.pi)
 
 
 class ParamsUKF(NamedTuple):
-    """Unscented-transform parameters (ref: gaussfiltax/inference.py:41-49)."""
+    """Unscented-transform parameters (ref: gaussfiltax/inference.py:41-49).
+
+    ``sqrt_method`` selects the sigma-point factorization: "sqrtm" is the
+    reference's symmetric square root (eigh-based here; an O(n³)
+    eigendecomposition per transform), "cholesky" is the standard UT choice
+    and much cheaper at high state dimension (BASELINE config 5, dx=512).
+    """
 
     alpha: float = 1e-3
     beta: float = 2.0
     kappa: float = 0.0
+    sqrt_method: str = "sqrtm"
 
 
 def _ut_moments(center_out, pts_out, lamda, n_aug, alpha, beta):
@@ -72,7 +79,7 @@ def ukf_predict_additive(
     # reference (ref: gaussfiltax/inference.py:136) regardless of the bias arg.
     q0 = jnp.zeros((dx,), dtype=m.dtype)
     lamda = uparams.alpha**2 * (dx + uparams.kappa) - dx
-    pts = sigma_points(m, P, lamda)
+    pts = sigma_points(m, P, lamda, uparams.sqrt_method)
     new_pts = vmap(f, in_axes=(0, None, None))(pts, q0, u)
     center = f(m, q0, u)
     mu, cov, _ = _ut_moments(center, new_pts, lamda, dx, uparams.alpha, uparams.beta)
@@ -89,7 +96,7 @@ def ukf_predict_nonadditive(
     n_aug = dx + nq
     lamda = uparams.alpha**2 * (n_aug + uparams.kappa) - n_aug
     mA, PA = _augment(m, P, q0, Q)
-    pts = sigma_points(mA, PA, lamda)
+    pts = sigma_points(mA, PA, lamda, uparams.sqrt_method)
     fA = lambda xA, uu: f(xA[:dx], xA[dx:], uu)
     new_pts = vmap(fA, in_axes=(0, None))(pts, u)
     center = f(m, q0, u)
@@ -106,7 +113,7 @@ def ukf_condition_on_additive(
     y = jnp.atleast_1d(y)
     r0 = jnp.zeros(y.shape[-1], dtype=m.dtype)
     lamda = uparams.alpha**2 * (dx + uparams.kappa) - dx
-    pts = sigma_points(m, P, lamda)
+    pts = sigma_points(m, P, lamda, uparams.sqrt_method)
     new_pts = vmap(h, in_axes=(0, None, None))(pts, r0, u)
     center = h(m, r0, u)
     mu_y, S, centered = _ut_moments(center, new_pts, lamda, dx, uparams.alpha,
@@ -127,7 +134,7 @@ def ukf_condition_on_nonadditive(
     y = jnp.atleast_1d(y)
     lamda = uparams.alpha**2 * (n_aug + uparams.kappa) - n_aug
     mA, PA = _augment(m, P, r0, R)
-    pts = sigma_points(mA, PA, lamda)
+    pts = sigma_points(mA, PA, lamda, uparams.sqrt_method)
     hA = lambda xA, uu: h(xA[:dx], xA[dx:], uu)
     new_pts = vmap(hA, in_axes=(0, None))(pts, u)
     center = h(m, r0, u)
