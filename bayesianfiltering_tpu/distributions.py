@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import jax.random as jr
 
 from bayesianfiltering_tpu.types import PRNGKey
+from bayesianfiltering_tpu.utils.linalg import fast_cholesky, tri_inv_lower
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -35,7 +36,7 @@ def mvn_logpdf(x: jax.Array, mean: jax.Array, cov: jax.Array) -> jax.Array:
     mean = jnp.atleast_1d(mean)
     cov = jnp.atleast_2d(cov)
     dim = x.shape[-1]
-    chol = jnp.linalg.cholesky(cov)
+    chol = fast_cholesky(cov)
     diff = x - mean
     if cov.ndim == 2 and diff.ndim > 1:
         # Shared covariance, batched residuals (the particle-filter hot
@@ -50,9 +51,8 @@ def mvn_logpdf(x: jax.Array, mean: jax.Array, cov: jax.Array) -> jax.Array:
         z = jnp.einsum("ij,...j->...i", linv, diff,
                        precision=jax.lax.Precision.HIGHEST)
     else:
-        z = jax.scipy.linalg.solve_triangular(
-            chol, diff[..., None], lower=True
-        )[..., 0]
+        z = jnp.einsum("...ij,...j->...i", tri_inv_lower(chol), diff,
+                       precision=jax.lax.Precision.HIGHEST)
     quad = jnp.sum(jnp.square(z), axis=-1)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
     return -0.5 * (dim * _LOG_2PI + logdet + quad)
@@ -72,7 +72,7 @@ def mvn_sample(
     mean = jnp.atleast_1d(mean)
     cov = jnp.atleast_2d(cov)
     dim = mean.shape[-1]
-    chol = jnp.linalg.cholesky(cov)
+    chol = fast_cholesky(cov)
     batch_shape = jnp.broadcast_shapes(mean.shape[:-1], cov.shape[:-2])
     eps = jr.normal(key, tuple(shape) + batch_shape + (dim,), dtype=mean.dtype)
     return mean + jnp.einsum("...ij,...j->...i", chol, eps)

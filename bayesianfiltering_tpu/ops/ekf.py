@@ -24,7 +24,11 @@ from typing import Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from bayesianfiltering_tpu.utils.linalg import symmetrize
+from bayesianfiltering_tpu.utils.linalg import (
+    fast_cholesky,
+    symmetrize,
+    tri_inv_lower,
+)
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -76,11 +80,13 @@ def _chol_update(P, Hx, Hr, R, m, y, yhat, jitter: float):
     S = symmetrize(Rt + Hx @ P @ Hx.T)
     floor = _REL_JITTER * jnp.max(jnp.abs(jnp.diagonal(S, axis1=-2, axis2=-1)))
     S = S + (jitter + floor) * jnp.eye(S.shape[-1], dtype=S.dtype)
-    chol = jnp.linalg.cholesky(S)
-    # Gain via two triangular solves on the shared factor: K = (S^{-1} Hx P)^T
+    # Blocked (matmul-based) Cholesky + explicit triangular inverse: TPU's
+    # native cholesky/triangular_solve lowerings are sequential loops and
+    # dominate the whole filter step (BENCHLOG.md).
+    chol = fast_cholesky(S)
+    linv = tri_inv_lower(chol)
     hp = Hx @ P
-    tmp = jax.scipy.linalg.solve_triangular(chol, hp, lower=True)
-    K = jax.scipy.linalg.solve_triangular(chol, tmp, lower=True, trans=1).T
+    K = (linv.T @ (linv @ hp)).T
     # Joseph-form covariance downdate: algebraically equal to P − K S Kᵀ but
     # PSD by construction — the difference form goes indefinite under f32
     # cancellation when S is tiny (e.g. the BOT bearing noise R=2.5e-5),
@@ -90,7 +96,7 @@ def _chol_update(P, Hx, Hr, R, m, y, yhat, jitter: float):
     innov = jnp.atleast_1d(y) - jnp.atleast_1d(yhat)
     posterior_mean = m + K @ innov
     # log N(y | yhat, S) on the same factor
-    z = jax.scipy.linalg.solve_triangular(chol, innov, lower=True)
+    z = linv @ innov
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
     ll = -0.5 * (dy * _LOG_2PI + logdet + jnp.sum(jnp.square(z)))
     return ll, posterior_mean, posterior_cov, K

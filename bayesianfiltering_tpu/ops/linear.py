@@ -18,7 +18,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from bayesianfiltering_tpu.config import with_matmul_precision
-from bayesianfiltering_tpu.utils.linalg import psd_solve, symmetrize
+from bayesianfiltering_tpu.utils.linalg import (
+    fast_cholesky,
+    psd_solve,
+    symmetrize,
+    tri_inv_lower,
+)
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -74,13 +79,13 @@ def kalman_filter(params: ParamsLGSSM, emissions: jax.Array) -> PosteriorKalman:
         # update
         yhat = H @ m_pred + d
         S = symmetrize(H @ P_pred @ H.T + R)
-        chol = jnp.linalg.cholesky(S)
-        tmp = jax.scipy.linalg.solve_triangular(chol, H @ P_pred, lower=True)
-        K = jax.scipy.linalg.solve_triangular(chol, tmp, lower=True, trans=1).T
+        chol = fast_cholesky(S)
+        linv = tri_inv_lower(chol)
+        K = (linv.T @ (linv @ (H @ P_pred))).T
         innov = y - yhat
         m_filt = m_pred + K @ innov
         P_filt = symmetrize(P_pred - K @ S @ K.T)
-        z = jax.scipy.linalg.solve_triangular(chol, innov, lower=True)
+        z = linv @ innov
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
         ll = ll - 0.5 * (dy * _LOG_2PI + logdet + jnp.sum(jnp.square(z)))
         # predict

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import vmap
 
-from bayesianfiltering_tpu.utils.linalg import symmetrize
+from bayesianfiltering_tpu.utils.linalg import fast_cholesky, symmetrize, tri_inv_lower
 from bayesianfiltering_tpu.utils.sigma_points import sigma_points
 import math
 
@@ -152,13 +152,13 @@ def _ukf_gain_update(m, P, mu_y, S, C, y):
     dy = y.shape[-1]
     floor = _REL_JITTER * jnp.max(jnp.abs(jnp.diagonal(S)))
     S = S + floor * jnp.eye(dy, dtype=S.dtype)
-    chol = jnp.linalg.cholesky(S)
-    tmp = jax.scipy.linalg.solve_triangular(chol, C, lower=True)
-    K = jax.scipy.linalg.solve_triangular(chol, tmp, lower=True, trans=1).T
+    chol = fast_cholesky(S)
+    linv = tri_inv_lower(chol)
+    K = (linv.T @ (linv @ C)).T
     posterior_cov = symmetrize(P - K @ S @ K.T)
     innov = y - mu_y
     posterior_mean = m + K @ innov
-    z = jax.scipy.linalg.solve_triangular(chol, innov, lower=True)
+    z = linv @ innov
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
     ll = -0.5 * (dy * _LOG_2PI + logdet + jnp.sum(jnp.square(z)))
     return ll, posterior_mean, posterior_cov

@@ -51,12 +51,12 @@ def psd_solve(
     n = a.shape[-1]
     if jitter:
         a = a + jitter * jnp.eye(n, dtype=a.dtype)
-    chol = jnp.linalg.cholesky(a)
+    chol = fast_cholesky(a)
+    linv = tri_inv_lower(chol)
     vector_rhs = b.ndim == a.ndim - 1
     if vector_rhs:
         b = b[..., None]
-    y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
-    x = jax.scipy.linalg.solve_triangular(chol, y, lower=True, trans=1)
+    x = jnp.swapaxes(linv, -1, -2) @ (linv @ b)
     return x[..., 0] if vector_rhs else x
 
 
@@ -94,8 +94,162 @@ def cholesky_guarded(p: jax.Array) -> jax.Array:
     (ref: gaussfiltax/containers.py:83,133), expressed one level earlier so a
     single guarded factor serves any number of samples.
     """
-    chol = jnp.linalg.cholesky(p)
-    return jnp.where(jnp.isnan(chol), 0.0, chol)
+    chol = fast_cholesky(p)
+    # All-or-nothing per matrix: the blocked/unrolled Cholesky leaves the
+    # columns before the failure point finite (LAPACK NaNs the whole factor),
+    # and a PARTIAL factor of an indefinite matrix can carry huge entries —
+    # zero the entire factor so sampling collapses cleanly onto the mean.
+    bad = jnp.any(jnp.isnan(chol), axis=(-2, -1), keepdims=True)
+    return jnp.where(bad, 0.0, chol)
+
+
+# ---------------------------------------------------------------------------
+# Matmul-based batched Cholesky / triangular inverse.
+#
+# XLA lowers TPU `cholesky` and `triangular_solve` to sequential loops: a
+# batched (256, 32, 32) Cholesky costs ~1 ms per call inside a scan on v5e —
+# it IS the EKF step cost (see BENCHLOG.md). These blocked recursions express
+# the same factorizations as log-depth batched matmuls (MXU) plus an
+# unrolled elementwise base case, and are the default for the small PSD
+# matrices Kalman-type filters live on.
+# ---------------------------------------------------------------------------
+
+_HI = jax.lax.Precision.HIGHEST
+# Unrolled-base size for the blocked recursions. Measured on v5e (EKF dx=64
+# batched headline): base 4 → 581k, 8 → 655k, 16 → 696k, 24 → 701k,
+# 32 → 358k timestep-equiv/s with a 441 s compile (the n² unrolled lattice
+# explodes). 16 balances speed and compile time.
+_BLOCK_BASE = 16
+_BLOCK_MAX = 256  # above this, LAPACK-style lowering wins; not a filter regime
+
+
+def _chol_unrolled(S: jax.Array) -> jax.Array:
+    """Cholesky–Crout fully unrolled over the (tiny, static) n×n lattice;
+    every statement is one batched elementwise op."""
+    n = S.shape[-1]
+    e = {}
+    for j in range(n):
+        d = S[..., j, j]
+        for k in range(j):
+            d = d - e[(j, k)] * e[(j, k)]
+        d = jnp.sqrt(d)
+        e[(j, j)] = d
+        inv = 1.0 / d
+        for i in range(j + 1, n):
+            s = S[..., i, j]
+            for k in range(j):
+                s = s - e[(i, k)] * e[(j, k)]
+            e[(i, j)] = s * inv
+    zero = jnp.zeros_like(e[(0, 0)])
+    rows = [
+        jnp.stack([e.get((i, j), zero) for j in range(n)], axis=-1)
+        for i in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def _tri_inv_unrolled(L: jax.Array) -> jax.Array:
+    """Unrolled forward-substitution inverse of a tiny lower-triangular L."""
+    n = L.shape[-1]
+    e = {}
+    for j in range(n):
+        for i in range(j, n):
+            if i == j:
+                e[(i, j)] = 1.0 / L[..., i, i]
+            else:
+                s = None
+                for k in range(j, i):
+                    t = L[..., i, k] * e[(k, j)]
+                    s = t if s is None else s + t
+                e[(i, j)] = -s / L[..., i, i]
+    zero = jnp.zeros_like(e[(0, 0)])
+    rows = [
+        jnp.stack([e.get((i, j), zero) for j in range(n)], axis=-1)
+        for i in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def tri_inv_lower(L: jax.Array) -> jax.Array:
+    """Inverse of a lower-triangular matrix via blocked recursion
+    (batched matmuls): inv([[A,0],[C,D]]) = [[A⁻¹,0],[−D⁻¹ C A⁻¹, D⁻¹]]."""
+    n = L.shape[-1]
+    if n <= _BLOCK_BASE:
+        return _tri_inv_unrolled(L)
+    p = _next_pow2(n)
+    if p != n:
+        eye_pad = jnp.eye(p, dtype=L.dtype)
+        Lp = jnp.zeros(L.shape[:-2] + (p, p), L.dtype)
+        Lp = Lp.at[..., :n, :n].set(L).at[..., n:, n:].set(
+            eye_pad[n - p:, n - p:]
+        )
+        return tri_inv_lower(Lp)[..., :n, :n]
+    h = n // 2
+    A = L[..., :h, :h]
+    C = L[..., h:, :h]
+    D = L[..., h:, h:]
+    Ai = tri_inv_lower(A)
+    Di = tri_inv_lower(D)
+    ll = -jnp.matmul(Di, jnp.matmul(C, Ai, precision=_HI), precision=_HI)
+    top = jnp.concatenate(
+        [Ai, jnp.zeros(A.shape[:-2] + (h, n - h), L.dtype)], axis=-1
+    )
+    bot = jnp.concatenate([ll, Di], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def cholesky_blocked(S: jax.Array) -> jax.Array:
+    """Lower Cholesky factor via blocked right-looking recursion
+    (batched matmuls):
+    chol([[A,Bᵀ],[B,C]]) = [[L_A,0],[B L_A⁻ᵀ, chol(C − L_B L_Bᵀ)]]."""
+    n = S.shape[-1]
+    if n <= _BLOCK_BASE:
+        return _chol_unrolled(S)
+    p = _next_pow2(n)
+    if p != n:
+        Sp = jnp.zeros(S.shape[:-2] + (p, p), S.dtype)
+        Sp = Sp.at[..., :n, :n].set(S)
+        Sp = Sp.at[..., n:, n:].set(jnp.eye(p - n, dtype=S.dtype))
+        return cholesky_blocked(Sp)[..., :n, :n]
+    h = n // 2
+    A = S[..., :h, :h]
+    B = S[..., h:, :h]
+    C = S[..., h:, h:]
+    LA = cholesky_blocked(A)
+    LAi = tri_inv_lower(LA)
+    LB = jnp.matmul(B, jnp.swapaxes(LAi, -1, -2), precision=_HI)
+    schur = C - jnp.matmul(LB, jnp.swapaxes(LB, -1, -2), precision=_HI)
+    LC = cholesky_blocked(symmetrize(schur))
+    top = jnp.concatenate(
+        [LA, jnp.zeros(A.shape[:-2] + (h, n - h), S.dtype)], axis=-1
+    )
+    bot = jnp.concatenate([LB, LC], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def fast_cholesky(S: jax.Array) -> jax.Array:
+    """Cholesky dispatcher: blocked matmul recursion for the small matrices
+    filters live on, LAPACK-style lowering beyond ``_BLOCK_MAX``."""
+    if S.shape[-1] <= _BLOCK_MAX:
+        return cholesky_blocked(S)
+    return jnp.linalg.cholesky(S)
+
+
+def tri_solve_lower(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve ``L x = b`` (lower triangular) as an inverse-then-matmul — the
+    matmul-friendly replacement for TPU's loop-lowered TriangularSolve."""
+    Li = tri_inv_lower(L)
+    vector_rhs = b.ndim == L.ndim - 1
+    if vector_rhs:
+        return jnp.einsum("...ij,...j->...i", Li, b, precision=_HI)
+    return jnp.matmul(Li, b, precision=_HI)
 
 
 def sandwich(f: jax.Array, p: jax.Array) -> jax.Array:
