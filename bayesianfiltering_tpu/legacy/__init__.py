@@ -22,11 +22,13 @@ from bayesianfiltering_tpu.legacy.static_utils import (
     plot_cov_ellipse,
 )
 from bayesianfiltering_tpu.legacy.simulation import Simulation
-from bayesianfiltering_tpu.legacy import mean_estimators, nonlinearities
+from bayesianfiltering_tpu.legacy import ala, mean_estimators, nonlinearities
+from bayesianfiltering_tpu.legacy.ala import StateSpaceModel, LinearModelParameters
 
 __all__ = [
     "SSM", "GaussFilt", "UKF", "MCF", "EKF", "MCLAF",
     "CompositeGaussSumFilt", "GaussSumFilt", "AugGaussSumFilt",
     "BootstrapPF", "MixtureModel", "AugmentedJointApproximation",
-    "plot_cov_ellipse", "Simulation", "mean_estimators", "nonlinearities",
+    "plot_cov_ellipse", "Simulation", "ala", "mean_estimators", "nonlinearities",
+    "StateSpaceModel", "LinearModelParameters",
 ]

@@ -224,3 +224,39 @@ class TestStaticUtils:
         assert posterior.covs.shape == (8, 2, 2)
         assert grads.shape == (8, 2, 1)
         np.testing.assert_allclose(jnp.sum(posterior.weights), 1.0, rtol=1e-5)
+
+
+class TestALA:
+    """Oldest-generation ALA API (ref: ALA/test-nonlinear.py)."""
+
+    def test_ala_workflow(self):
+        from bayesianfiltering_tpu.legacy.ala import (
+            LinearModelParameters,
+            StateSpaceModel,
+        )
+
+        params = LinearModelParameters(0.0, 0.0, 0.1, 0.1)
+        freq = 10.0
+        f = lambda x: jnp.sin(x) * jnp.sin(freq * x)
+        g = lambda x: x
+        jacob_dyn = lambda x: (
+            jnp.sin(x) * freq * jnp.cos(freq * x) + jnp.cos(x) * jnp.sin(freq * x)
+        )
+        jacob_obs = lambda x: jnp.ones(())
+        ssm = StateSpaceModel(1, 1, f, g, key=jr.PRNGKey(0))
+        states, obs = ssm.simulate(60, jnp.zeros(1), params)
+        init = [jnp.zeros(1), jnp.eye(1)]
+
+        means, covs = ssm.extended_kalman_filter(obs, jacob_dyn, jacob_obs,
+                                                 params, init)
+        assert means.shape == (60, 1) and covs.shape == (60, 1, 1)
+        m_lat, c_lat = ssm.latent_ekf(obs, 10, 0.05 * jnp.eye(1), jacob_dyn,
+                                      jacob_obs, params, init)
+        m_ukf, c_ukf = ssm.unscented_kalman_filter(obs, init, params, 10, 2, 1)
+        err = lambda m: float(jnp.linalg.norm(m - states))
+        # all three should track the (well-observed) state reasonably
+        base = float(jnp.linalg.norm(states))
+        assert err(means) < base
+        assert err(m_lat) < base
+        assert err(m_ukf) < base
+        assert bool(jnp.all(jnp.isfinite(c_lat)))
