@@ -20,6 +20,10 @@ from bayesianfiltering_tpu.models.nonlinear import (
     NonlinearGaussianSSM,
     NonlinearSSM,
 )
+from bayesianfiltering_tpu.models.linear_gaussian import (
+    LinearGaussianSSM,
+    PropsLGSSM,
+)
 from bayesianfiltering_tpu.models import bijectors, zoo
 from bayesianfiltering_tpu.models._fit import (
     ensure_array_has_batch_dim,
@@ -32,7 +36,7 @@ __all__ = [
     "FnStateToEmission", "FnStateAndInputToEmission",
     "ParameterSet", "PropertySet", "ParameterProperties",
     "to_unconstrained", "from_unconstrained", "log_det_jac_constrain",
-    "SSM", "NonlinearGaussianSSM", "NonlinearSSM",
+    "SSM", "NonlinearGaussianSSM", "NonlinearSSM", "LinearGaussianSSM", "PropsLGSSM",
     "bijectors", "zoo",
     "ensure_array_has_batch_dim", "run_sgd",
 ]
