@@ -10,6 +10,12 @@ from bayesianfiltering_tpu.utils.linalg import (
     psd_solve,
     project_to_psd,
     sqrtm_psd,
+    sqrtm_psd_eigh,
+    sqrtm_psd_ns,
+    fast_cholesky,
+    cholesky_blocked,
+    tri_inv_lower,
+    tri_solve_lower,
     cholesky_guarded,
     sandwich,
     matrix_projection,
@@ -54,8 +60,9 @@ from bayesianfiltering_tpu.utils.sdp import (
 
 __all__ = [
     # linalg
-    "symmetrize", "psd_solve", "project_to_psd", "sqrtm_psd",
-    "cholesky_guarded", "sandwich", "matrix_projection",
+    "symmetrize", "psd_solve", "project_to_psd", "sqrtm_psd", "sqrtm_psd_eigh",
+    "sqrtm_psd_ns", "fast_cholesky", "cholesky_blocked", "tri_inv_lower",
+    "tri_solve_lower", "cholesky_guarded", "sandwich", "matrix_projection",
     # metrics
     "mse", "rmse", "collapse", "normal_KL_div", "normal_kl", "W_distance",
     "gaussian_logpdf", "gm", "loss", "dec_to_base",

@@ -73,16 +73,50 @@ def project_to_psd(delta: jax.Array) -> jax.Array:
     return symmetrize(projected)
 
 
-def sqrtm_psd(p: jax.Array) -> jax.Array:
+def sqrtm_psd_eigh(p: jax.Array) -> jax.Array:
     """Symmetric PSD matrix square root via eigendecomposition.
 
-    TPU-native stand-in for ``jnp.real(scipy.linalg.sqrtm(P))``
-    (ref: gaussfiltax/utils.py:250): identical for symmetric PSD ``P``,
-    batched, differentiable, and free of complex intermediates.
+    Exact stand-in for ``jnp.real(scipy.linalg.sqrtm(P))``
+    (ref: gaussfiltax/utils.py:250) on PSD input, but eigh is loop-lowered
+    on TPU (and hard-faults at n≥512 inside scans in this environment) —
+    use :func:`sqrtm_psd` in compute paths.
     """
     evals, evecs = jnp.linalg.eigh(symmetrize(p))
     root = jnp.sqrt(jnp.maximum(evals, 0.0))
     return symmetrize((evecs * root[..., None, :]) @ jnp.swapaxes(evecs, -1, -2))
+
+
+def sqrtm_psd_ns(p: jax.Array, num_iters: int = 14) -> jax.Array:
+    """Symmetric PSD square root via Newton–Schulz iteration — matmuls only.
+
+    Trace-normalized coupled iteration
+    ``Y ← Y(3I − ZY)/2, Z ← (3I − ZY)Z/2`` (quadratic convergence for
+    spectral radius < 1). All work is batched matmuls, so a bank of M small
+    square roots inside a scan costs MXU time instead of TPU eigh's
+    sequential loop (the UKF-family filters were 10-100× slower through
+    eigh, BENCHLOG.md). Eigendirections with eigenvalue ratio ≲1e-6 of the
+    trace converge partially — an absolute covariance error at the jitter
+    scale, irrelevant for sigma-point spreads.
+    """
+    n = p.shape[-1]
+    eye = jnp.eye(n, dtype=p.dtype)
+    p = symmetrize(p)
+    s = jnp.trace(p, axis1=-2, axis2=-1)[..., None, None] + 1e-30
+    a = p / s
+    y, z = a, jnp.broadcast_to(eye, p.shape)
+    for _ in range(num_iters):
+        t = 0.5 * (3.0 * eye - jnp.matmul(z, y, precision=_HI))
+        y = jnp.matmul(y, t, precision=_HI)
+        z = jnp.matmul(t, z, precision=_HI)
+    return symmetrize(y * jnp.sqrt(s))
+
+
+def sqrtm_psd(p: jax.Array) -> jax.Array:
+    """PSD matrix square root — Newton–Schulz (matmul-only) for the small
+    matrices filters live on, eigh beyond ``_BLOCK_MAX``."""
+    if p.shape[-1] <= _BLOCK_MAX:
+        return sqrtm_psd_ns(p)
+    return sqrtm_psd_eigh(p)
 
 
 def cholesky_guarded(p: jax.Array) -> jax.Array:
