@@ -25,7 +25,7 @@ API; they are NOT used by any filter in this package.
 """
 from __future__ import annotations
 
-from typing import List, NamedTuple, Sequence, Union
+from typing import List, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

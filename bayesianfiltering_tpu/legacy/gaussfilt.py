@@ -23,9 +23,8 @@ TPU-native rebuild notes:
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
-import jax
 import jax.numpy as jnp
 import jax.random as jr
 from jax import jacfwd, jacrev, lax, vmap

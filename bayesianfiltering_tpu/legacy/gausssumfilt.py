@@ -14,8 +14,6 @@ Outputs are time-major ``(T, M, ...)``.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import jax.random as jr
 from jax import jacfwd, jacrev, lax, vmap

@@ -8,9 +8,6 @@ for code written against the reference layout.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
-
-from bayesianfiltering_tpu.distributions import mvn_logpdf
 from bayesianfiltering_tpu.models.zoo import (
     linear_nonlinear_product,
     linear_nonlinear_sum,

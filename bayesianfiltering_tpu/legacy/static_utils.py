@@ -14,7 +14,6 @@ from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import jax.random as jr
 from jax import jacfwd, vmap
 
 from bayesianfiltering_tpu.distributions import mvn_logpdf, mvn_sample

@@ -7,13 +7,13 @@ working implementations.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 import jax.random as jr
 import optax
-from jax import jit, lax, value_and_grad
+from jax import jit, value_and_grad
 from jax.tree_util import tree_map
 
 from bayesianfiltering_tpu.types import PRNGKey

@@ -13,7 +13,7 @@ runnable (the reference's is a NameError, SURVEY.md §2.1).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import jax.random as jr

@@ -15,7 +15,6 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 import jax.random as jr
 
 import bayesianfiltering_tpu.inference as gf

@@ -216,3 +216,36 @@ class TestAccuracy:
                                          inputs=inputs)
         post = gf.extended_kalman_filter(params, emissions, inputs=inputs)
         assert bool(jnp.all(jnp.isfinite(post.filtered_means)))
+
+
+class TestTimeVaryingNoise:
+    """Time-varying Q/R stacks resolved per step — the reference's
+    `_get_params` capability (ref: gaussfiltax/inference.py:21,337-340)."""
+
+    def test_time_varying_emission_noise(self):
+        model, params, _ = zoo.linear_gaussian(2, 2, r=0.1)
+        T = 30
+        _, emissions = model.sample(params, jr.PRNGKey(0), T)
+        # R ramps from exact (0.1 I) to huge — late-step updates should be
+        # increasingly ignored, inflating late filtered covariances.
+        R_stack = jnp.stack(
+            [0.1 * (1 + 100.0 * t / T) * jnp.eye(2) for t in range(T)]
+        )
+        tv_params = params._replace(emission_noise_covariance=R_stack)
+        post_tv = gf.extended_kalman_filter(tv_params, emissions)
+        post_const = gf.extended_kalman_filter(params, emissions)
+        assert bool(jnp.all(jnp.isfinite(post_tv.filtered_means)))
+        tr = lambda p: jnp.trace(p.filtered_covariances[-1])
+        assert float(tr(post_tv)) > float(tr(post_const))
+        # early steps (small R difference) agree closely
+        np.testing.assert_allclose(post_tv.filtered_means[0],
+                                   post_const.filtered_means[0], atol=1e-3)
+
+    def test_time_varying_q_in_gsf(self):
+        model, params, _ = zoo.linear_gaussian(2, 2)
+        T = 20
+        _, emissions = model.sample(params, jr.PRNGKey(1), T)
+        Q_stack = jnp.stack([(0.5 + 0.1 * t) * jnp.eye(2) for t in range(T)])
+        tv_params = params._replace(dynamics_noise_covariance=Q_stack)
+        post = gf.gaussian_sum_filter(tv_params, emissions, 3)
+        assert bool(jnp.all(jnp.isfinite(post.means)))
