@@ -530,6 +530,7 @@ def augmented_gaussian_sum_filter(
     opt_args: Tuple[float, float] = (0.1, 0.1),
     inputs: Optional[jax.Array] = None,
     autocov: str = "prop",
+    reduction: str = "multinomial",
     compat_fixed_keys: bool = False,
     jitter: float = 0.0,
 ):
@@ -551,7 +552,7 @@ def augmented_gaussian_sum_filter(
         rng_key = jr.PRNGKey(0)
     return _agsf_engine(
         params, emissions, num_components, rng_key, opt_args, inputs,
-        moments="ekf", uparams=None, reduction="multinomial", autocov=autocov,
+        moments="ekf", uparams=None, reduction=reduction, autocov=autocov,
         num_iter=num_iter, compat_fixed_keys=compat_fixed_keys, jitter=jitter,
     )
 

@@ -158,6 +158,62 @@ def bot_maneuver_inputs(seq_length: int) -> jnp.ndarray:
     return jnp.array([1] * third + [0] * third + [2] * (seq_length - 2 * third))
 
 
+def range_bearing_tracking(dt: float = 0.5, acc: float = 0.5,
+                           q: float = 1e-5, r: float = 25e-6):
+    """The T=500 BOT-experiment variant with range+bearing observations
+    (ref: docs/notebooks/BOTExperiment.ipynb cell 2; BASELINE.md "BOT
+    tracking" rows): Q = 1e-5, mildly unstable CV dynamics (1.05·F_CV),
+    emission (arctan2(py,px), √(px²+py²)) — range observed, so long-horizon
+    RMSE stays small (reference AGSF: 3.09 ± 0.63)."""
+    FCV = 1.05 * jnp.array(
+        [[1, dt, 0, 0], [0, 1, 0, 0], [0, 0, 1, dt], [0, 0, 0, 1]],
+        dtype=jnp.float32,
+    )
+    G = jnp.array([[0.5, 0], [1, 0], [0, 0.5], [0, 1]], dtype=jnp.float32)
+
+    def omega(x, a):
+        return 0.1 * a / jnp.sqrt(x[1] ** 2 + x[3] ** 2)
+
+    def FCT(x, a):
+        w = omega(x, a)
+        s, c = jnp.sin(dt * w), jnp.cos(dt * w)
+        return jnp.array(
+            [[1, s / w, 0, -(1 - c) / w],
+             [0, c, 0, -s],
+             [0, (1 - c) / w, 1, s / w],
+             [0, s, 0, c]]
+        )
+
+    def f(x, qn, u):
+        u = jnp.squeeze(u)
+        blend = (
+            0.5 * (u - 1) * (u - 2) * FCV
+            - u * (u - 2) * FCT(x, acc)
+            + 0.5 * u * (u - 1) * FCT(x, -acc)
+        )
+        return blend @ x + G @ qn
+
+    def h(x, rn, u):
+        return jnp.array(
+            [jnp.arctan2(x[2], x[0]), jnp.sqrt(x[0] ** 2 + x[2] ** 2)]
+        ) + rn
+
+    mu0 = jnp.array([-0.05, 0.001, 0.7, -0.05])
+    Sigma0 = jnp.diag(jnp.array([0.1, 0.005, 0.1, 0.01]))
+    return _bundle(4, 2, 2, 2, mu0, Sigma0, f, q * jnp.eye(2), h,
+                   r * jnp.eye(2))
+
+
+def bot_experiment_inputs(seq_length: int) -> jnp.ndarray:
+    """The 2/5–1/5–2/5 maneuver schedule of the T=500 BOT experiment
+    (ref: docs/notebooks/BOTExperiment.ipynb cell 2)."""
+    two_fifth = int(2 * seq_length / 5)
+    fifth = int(seq_length / 5)
+    return jnp.array(
+        [1] * two_fifth + [0] * fifth + [2] * (seq_length - two_fifth - fifth)
+    )
+
+
 def stochastic_volatility(state_dim: int = 3, sigma: float = 5.0,
                           beta: float = 0.5, phi: float = 0.8,
                           q: float = 20.0, r: float = 1e-3):
@@ -293,6 +349,8 @@ __all__ = [
     "linear_gaussian_lgssm",
     "bearings_only_tracking",
     "bot_maneuver_inputs",
+    "range_bearing_tracking",
+    "bot_experiment_inputs",
     "stochastic_volatility",
     "lorenz63",
     "lorenz96",

@@ -31,10 +31,25 @@ def main():
                     help="M for GSF/UGSF and AGSF outer components")
     ap.add_argument("--bpf-particles", type=int, default=50_000)
     ap.add_argument("--latex", action="store_true")
+    ap.add_argument("--reduction", choices=["multinomial", "topk", "optimal"],
+                    default="topk",
+                    help="AGSF mixture reduction; topk avoids the occasional "
+                         "catastrophic track loss of multinomial resampling "
+                         "at long horizons")
+    ap.add_argument("--variant", choices=["bearing", "range-bearing"],
+                    default="range-bearing",
+                    help="'range-bearing' is the reference's T=500 notebook "
+                         "config (observable range, RMSE ~3); 'bearing' the "
+                         "test-suite bearing-only config (unobservable "
+                         "range, diverges at long horizons)")
     args = ap.parse_args()
 
-    model, params, bpf_params = zoo.bearings_only_tracking()
-    inputs = zoo.bot_maneuver_inputs(args.seq_length)
+    if args.variant == "range-bearing":
+        model, params, bpf_params = zoo.range_bearing_tracking()
+        inputs = zoo.bot_experiment_inputs(args.seq_length)
+    else:
+        model, params, bpf_params = zoo.bearings_only_tracking()
+        inputs = zoo.bot_maneuver_inputs(args.seq_length)
     M = args.num_components
     uparams = ParamsUKF()
 
@@ -53,7 +68,8 @@ def main():
         ),
         "AGSF": lambda e, k: point(
             gf.augmented_gaussian_sum_filter(
-                params, e, [M, 2, 2], k, 1, (0.1, 0.1), inputs
+                params, e, [M, 2, 2], k, 1, (0.1, 0.1), inputs,
+                reduction=args.reduction,
             )[0]
         ),
         "UAGSF": lambda e, k: point(
