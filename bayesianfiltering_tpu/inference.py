@@ -628,6 +628,7 @@ def bootstrap_particle_filter(
     ess_threshold: float = 0.5,
     resampler: str = "systematic",
     store: str = "all",
+    fused_resampling: bool = None,
 ) -> Dict[str, jax.Array]:
     """Bootstrap PF with ESS-adaptive resampling
     (ref: gaussfiltax/inference.py:1302-1381).
@@ -649,6 +650,12 @@ def bootstrap_particle_filter(
     f = params.dynamics_function
     inputs = _process_input(inputs, num_timesteps)
     resample_fn = get_resampler(resampler)
+    # Experimental: the windowed MXU resampling kernel currently ties the
+    # XLA path in-scan (its per-tile DMAs are not yet double-buffered,
+    # BENCHLOG.md) — opt-in until it wins.
+    if fused_resampling is None:
+        fused_resampling = False
+    fused_resampling = fused_resampling and resampler == "systematic"
 
     log_prob_fn = params.emission_distribution_log_prob
     v_log_prob = vmap(log_prob_fn, in_axes=(0, None, None))
@@ -676,10 +683,20 @@ def bootstrap_particle_filter(
 
         def do_resample(args):
             w, p = args
-            idx = resample_fn(key_res, w, num_particles)
+            if fused_resampling:
+                # windowed MXU gather kernel (ops/resampling_kernels.py);
+                # auto-falls back to the index path off-TPU / on tiny banks
+                from bayesianfiltering_tpu.ops.resampling_kernels import (
+                    systematic_resample_gather,
+                )
+
+                resampled = systematic_resample_gather(key_res, w, p)
+            else:
+                idx = resample_fn(key_res, w, num_particles)
+                resampled = jnp.take(p, idx, axis=0)
             return (
                 jnp.full((num_particles,), -jnp.log(num_particles), w.dtype),
-                jnp.take(p, idx, axis=0),
+                resampled,
             )
 
         def no_resample(args):

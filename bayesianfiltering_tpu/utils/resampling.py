@@ -37,7 +37,9 @@ def _inverse_cdf(weights: jax.Array, positions: jax.Array) -> jax.Array:
     ``searchsorted`` costs ~130 ms at 1M elements (measured, v5e), the
     sort-merge lowering ~20 ms.
     """
-    cdf = jnp.cumsum(weights, axis=-1)
+    # XLA's parallel f32 cumsum can dip by an ulp (re-association), and
+    # searchsorted on a non-sorted array is undefined — enforce monotonicity.
+    cdf = jax.lax.cummax(jnp.cumsum(weights, axis=-1), axis=weights.ndim - 1)
     cdf = cdf / cdf[..., -1:]  # guard against accumulated rounding
     return jnp.clip(
         jnp.searchsorted(cdf, positions, side="right", method="sort"),
@@ -82,7 +84,10 @@ def systematic_resample(key: PRNGKey, weights: jax.Array, num_samples: int) -> j
     u0 = jr.uniform(key, (), dtype=weights.dtype)
     cdf = jnp.cumsum(weights)
     cdf = cdf / cdf[-1]
-    counts = jnp.clip(jnp.ceil(n * cdf - u0), 0, n)
+    # XLA's parallel f32 cumsum can dip by an ulp (re-association); keep the
+    # cumulative counts monotone so downstream consumers (e.g. the Pallas
+    # windowed gather) see a true CDF.
+    counts = jax.lax.cummax(jnp.clip(jnp.ceil(n * cdf - u0), 0, n))
     return _counts_to_parents(counts, n)
 
 
@@ -103,6 +108,7 @@ def stratified_resample(key: PRNGKey, weights: jax.Array, num_samples: int) -> j
     in_range = jstar < n
     u_at = u[jnp.clip(jstar, 0, n - 1)]
     counts = jnp.clip(jstar + jnp.where(in_range & (u_at < frac), 1, 0), 0, n)
+    counts = jax.lax.cummax(counts)  # guard against non-monotone f32 cumsum
     return _counts_to_parents(counts, n)
 
 
