@@ -225,3 +225,24 @@ class TestLinearGaussianEM:
                                  verbose=False)
         np.testing.assert_array_equal(fitted.emission_matrix,
                                       true.emission_matrix)
+
+
+class TestRangeBearingModel:
+    """The T=500 BOT-notebook variant (zoo.range_bearing_tracking)."""
+
+    def test_sample_and_filter(self):
+        model, params, bpf = zoo.range_bearing_tracking()
+        inputs = zoo.bot_experiment_inputs(50)
+        assert inputs.shape == (50,)
+        states, emissions = model.sample(params, jr.PRNGKey(0), 50,
+                                         inputs=inputs)
+        assert emissions.shape == (50, 2)  # (bearing, range)
+        import bayesianfiltering_tpu.inference as gf
+
+        out = gf.bootstrap_particle_filter(bpf, emissions, 2000,
+                                           jr.PRNGKey(1), inputs,
+                                           store="summary")
+        from bayesianfiltering_tpu.utils import rmse
+
+        # range observed -> the BPF must actually track the target
+        assert float(rmse(out["means"], states)) < 5.0
