@@ -142,6 +142,7 @@ def extended_kalman_filter(
     num_iter: int = 1,
     inputs: Optional[jax.Array] = None,
     jitter: float = 0.0,
+    compat_scalar: bool = False,
 ) -> PosteriorGaussianFiltered:
     """First-order EKF for non-additive-noise nonlinear SSMs.
 
@@ -149,6 +150,10 @@ def extended_kalman_filter(
     bookkeeping: update-then-predict per step, marginal log-likelihood
     accumulated from the innovation density. Differentiable in ``params``
     (used by ``NonlinearSSM.fit_sgd``).
+
+    ``compat_scalar=True`` runs the reference-exact update (scalar-jitter LU
+    gain, difference-form downdate — ref: gaussfiltax/utils.py:256-259) for
+    golden-parity testing; it ignores ``num_iter``/``jitter``.
     """
     num_timesteps = len(emissions)
     f, h, F_x, H_x, F_q, H_r = _jacobians(params)
@@ -158,9 +163,14 @@ def extended_kalman_filter(
         m_pred, P_pred, ll = carry
         Q, q0, R, r0 = _slice_noise(params, t)
         u, y = inputs[t], emissions[t]
-        upd = _ekf.ekf_condition_on_iterated(
-            m_pred, P_pred, h, H_x, H_r, R, r0, u, y, num_iter, jitter
-        )
+        if compat_scalar:
+            upd = _ekf.ekf_condition_on_ref(
+                m_pred, P_pred, h, H_x, H_r, R, r0, u, y
+            )
+        else:
+            upd = _ekf.ekf_condition_on_iterated(
+                m_pred, P_pred, h, H_x, H_r, R, r0, u, y, num_iter, jitter
+            )
         m_next, P_next, _ = _ekf.ekf_predict(upd.mean, upd.cov, f, F_x, F_q, Q, q0, u)
         carry = (m_next, P_next, ll + upd.log_likelihood)
         return carry, (upd.mean, upd.cov, m_next, P_next)
@@ -177,19 +187,30 @@ def unscented_kalman_filter(
     emissions: jax.Array,
     inputs: Optional[jax.Array] = None,
     additive: bool = False,
+    num_iter: int = 1,
 ) -> PosteriorGaussianFiltered:
     """UKF for nonlinear SSMs; ``additive=True`` selects the additive-noise
-    quadrature (fewer sigma points), otherwise state-noise augmentation."""
+    quadrature (fewer sigma points), otherwise state-noise augmentation.
+
+    ``num_iter>1`` runs the iterated posterior-linearization update (IPLF,
+    non-additive path only)."""
     num_timesteps = len(emissions)
     f, h = params.dynamics_function, params.emission_function
     inputs = _process_input(inputs, num_timesteps)
     if additive:
+        if num_iter > 1:
+            raise ValueError(
+                "num_iter > 1 (IPLF) is only implemented for the "
+                "non-additive quadrature; pass additive=False"
+            )
         predict, condition = _ukf.ukf_predict_additive, _ukf.ukf_condition_on_additive
     else:
-        predict, condition = (
-            _ukf.ukf_predict_nonadditive,
-            _ukf.ukf_condition_on_nonadditive,
-        )
+        predict = _ukf.ukf_predict_nonadditive
+
+        def condition(m, P, h, R, u, y, uparams, r0):
+            return _ukf.ukf_condition_on_nonadditive_iterated(
+                m, P, h, R, u, y, uparams, r0, num_iter
+            )
 
     def step(carry, t):
         m_pred, P_pred, ll = carry
@@ -308,8 +329,8 @@ def unscented_gaussian_sum_filter(
         key = jr.PRNGKey(0)
 
     v_update = vmap(
-        _ukf.ukf_condition_on_nonadditive,
-        in_axes=(0, 0, None, None, None, None, None, None),
+        _ukf.ukf_condition_on_nonadditive_iterated,
+        in_axes=(0, 0, None, None, None, None, None, None, None),
     )
     v_predict = vmap(
         _ukf.ukf_predict_nonadditive, in_axes=(0, 0, None, None, None, None, None)
@@ -320,7 +341,8 @@ def unscented_gaussian_sum_filter(
         Q, q0, R, r0 = _slice_noise(params, t)
         u, y = inputs[t], emissions[t]
 
-        lls, f_means, f_covs = v_update(pred_means, pred_covs, h, R, u, y, uparams, r0)
+        lls, f_means, f_covs = v_update(pred_means, pred_covs, h, R, u, y, uparams,
+                                        r0, num_iter)
         weights, step_ll = _reweight(lls, weights)
         pred_means, pred_covs = v_predict(f_means, f_covs, f, u, Q, uparams, q0)
 
@@ -378,8 +400,15 @@ def _select_split_cov(
     if strategy == "trace":
         def one(m, P):
             H = jnp.reshape(hessian(m, bias, u), (-1,) + P.shape)
-            denom = jnp.sum(jnp.trace(H @ P, axis1=-2, axis2=-1))
-            scale = jnp.minimum(1.0, alpha * jnp.trace(P) / denom)
+            # Curvature scale Σ_i |tr(H_i P)|. The reference's commented
+            # branch 4 (ref: gaussfiltax/inference.py:253) sums the signed
+            # traces — which can be ≤ 0 for sign-indefinite Hessians (e.g.
+            # the BOT bearing emission), making Δ = scale·P indefinite and
+            # NaN-ing the filter. Magnitudes + a [0,1] clamp keep 0 ⪯ Δ ⪯ P.
+            denom = jnp.sum(jnp.abs(jnp.trace(H @ P, axis1=-2, axis2=-1)))
+            scale = jnp.clip(
+                alpha * jnp.trace(P) / (denom + 1e-30), 0.0, 1.0
+            )
             return scale * P
         return vmap(one)(means, covs)
     raise ValueError(f"unknown autocov strategy {strategy!r}")
@@ -413,14 +442,23 @@ def _agsf_engine(
     inputs = _process_input(inputs, num_timesteps)
     alpha0, alpha1 = opt_args
 
+    # Key discipline: the caller's rng_key controls BOTH the mixture init and
+    # the per-step split/reduce randomness. The reference instead hard-codes
+    # jr.PRNGKey(0) for the init draw (ref: gaussfiltax/inference.py:509,367)
+    # and reuses fixed keys inside the scan — reproduced by compat_fixed_keys.
+    if compat_fixed_keys:
+        init_key, scan_key = jr.PRNGKey(0), rng_key
+    else:
+        init_key, scan_key = jr.split(rng_key)
+
     use_ekf = moments == "ekf"
     if use_ekf:
         v_predict = vmap(
             _ekf.ekf_predict, in_axes=(0, 0, None, None, None, None, None, None)
         )
         v_update = vmap(
-            _ekf.ekf_condition_on,
-            in_axes=(0, 0, None, None, None, None, None, None, None, None),
+            _ekf.ekf_condition_on_iterated,
+            in_axes=(0, 0, None, None, None, None, None, None, None, None, None),
         )
     else:
         v_predict = vmap(
@@ -428,15 +466,15 @@ def _agsf_engine(
             in_axes=(0, 0, None, None, None, None, None),
         )
         v_update = vmap(
-            _ukf.ukf_condition_on_nonadditive,
-            in_axes=(0, 0, None, None, None, None, None, None),
+            _ukf.ukf_condition_on_nonadditive_iterated,
+            in_axes=(0, 0, None, None, None, None, None, None, None),
         )
 
     def step(carry, t):
         means, covs, weights = carry
         Q, q0, R, r0 = _slice_noise(params, t)
         u, y = inputs[t], emissions[t]
-        key_t = _step_key(rng_key, t, compat_fixed_keys)
+        key_t = _step_key(scan_key, t, compat_fixed_keys)
         key_split1, key_split2, key_reduce = jr.split(key_t, 3)
         if compat_fixed_keys:
             # Reference resamples with a fresh PRNGKey(0) inside every step
@@ -473,13 +511,14 @@ def _agsf_engine(
         if use_ekf:
             upd = v_update(
                 to_update.means, to_update.covariances, h, H_x, H_r, R, r0, u, y,
-                jitter,
+                num_iter, jitter,
             )
             lls, upd_means, upd_covs = upd.log_likelihood, upd.mean, upd.cov
             grads_obs, gain = upd.jacobian, upd.gain
         else:
             lls, upd_means, upd_covs = v_update(
-                to_update.means, to_update.covariances, h, R, u, y, uparams, r0
+                to_update.means, to_update.covariances, h, R, u, y, uparams, r0,
+                num_iter,
             )
             grads_obs = gain = None
         new_weights, step_ll = _reweight(lls, to_update.weights)
@@ -506,7 +545,7 @@ def _agsf_engine(
             aux.update(grads_dyn=grads_dyn, grads_obs=grads_obs, gain=gain)
         return carry, (outputs, aux)
 
-    w0, m0, P0 = _init_mixture(params, M, jr.PRNGKey(0))
+    w0, m0, P0 = _init_mixture(params, M, init_key)
     carry = (m0, P0, w0)
     _, (outputs, aux) = lax.scan(step, carry, jnp.arange(num_timesteps))
     outputs = swap_axes_on_values(outputs)
@@ -682,7 +721,8 @@ def bootstrap_particle_filter(
         ess = effective_sample_size(weights)
 
         def do_resample(args):
-            w, p = args
+            lw, p = args
+            w = jnp.exp(lw)
             if fused_resampling:
                 # windowed MXU gather kernel (ops/resampling_kernels.py);
                 # auto-falls back to the index path off-TPU / on tiny banks
@@ -695,19 +735,21 @@ def bootstrap_particle_filter(
                 idx = resample_fn(key_res, w, num_particles)
                 resampled = jnp.take(p, idx, axis=0)
             return (
-                jnp.full((num_particles,), -jnp.log(num_particles), w.dtype),
+                jnp.full((num_particles,), -jnp.log(num_particles), lw.dtype),
                 resampled,
             )
 
         def no_resample(args):
-            w, p = args
-            return jnp.log(w), p
+            # Pass log weights through UNCHANGED: a log(exp(lw)) round-trip
+            # would turn any weight that underflows to 0 in f32
+            # (lw < ~-88, routine at 1M particles) into a permanent -inf.
+            return args
 
         log_weights, new_particles = lax.cond(
             ess < ess_threshold * num_particles,
             do_resample,
             no_resample,
-            (weights, new_particles),
+            (log_weights, new_particles),
         )
         weights = jnp.exp(log_weights)
 

@@ -214,6 +214,29 @@ def bot_experiment_inputs(seq_length: int) -> jnp.ndarray:
     )
 
 
+def tsp_lorenz63(q: float = 20.0, r: float = 0.1, obs_scale: float = 0.001,
+                 dt: float = 0.01):
+    """The TSP-2023 notebook's benchmark model: Lorenz-63 Euler dynamics with
+    the weak quadratic observation ``y = 0.001·xᵀx + r``
+    (ref: docs/notebooks/Experiment_TSP_2023.ipynb cell 2: f63 + g1,
+    Q = 20·I₃, R = 0.1, μ₀ = 0, Σ₀ = I₃). The huge dynamics noise plus the
+    nearly uninformative emission make this the reference's hardest tracking
+    table (per-sim RMSEs 20-70, BASELINE.md TSP row)."""
+
+    def f(x, qn, u):
+        sigma, rho, beta = 10.0, 28.0, 2.667
+        dx = dt * sigma * (x[1] - x[0])
+        dy = dt * (x[0] * rho - x[1] - x[0] * x[2])
+        dz = dt * (x[0] * x[1] - beta * x[2])
+        return jnp.array([x[0] + dx, x[1] + dy, x[2] + dz]) + qn
+
+    def h(x, rn, u):
+        return obs_scale * jnp.dot(x, x) + rn
+
+    return _bundle(3, 3, 1, 1, jnp.zeros(3), jnp.eye(3), f, q * jnp.eye(3),
+                   h, r * jnp.eye(1))
+
+
 def stochastic_volatility(state_dim: int = 3, sigma: float = 5.0,
                           beta: float = 0.5, phi: float = 0.8,
                           q: float = 20.0, r: float = 1e-3):

@@ -170,6 +170,43 @@ def ekf_condition_on_iterated(
     return out
 
 
+def ekf_condition_on_ref(
+    m: jax.Array,
+    P: jax.Array,
+    h: Callable,
+    H_x: Callable,
+    H_r: Callable,
+    R: jax.Array,
+    r0: jax.Array,
+    u,
+    y: jax.Array,
+) -> EKFUpdate:
+    """Reference-exact EKF update for golden-parity mode.
+
+    Reproduces the reference's formulas VERBATIM, quirks included
+    (ref: gaussfiltax/inference.py:72-105 + utils.py:256-259): the gain
+    comes from an LU solve of ``S + 1e-6`` with the scalar added to every
+    entry (not the diagonal), the covariance uses the cancellation-prone
+    difference form ``P − K S Kᵀ``, and the log-likelihood is evaluated on
+    the unperturbed ``S``. Use only for parity testing — the default
+    :func:`ekf_condition_on` is the numerically sound path.
+    """
+    Hx = H_x(m, r0, u)
+    Hr = H_r(m, r0, u)
+    S = Hr @ R @ Hr.T + Hx @ P @ Hx.T
+    K = jnp.linalg.solve(S + 1e-6, Hx @ P).T
+    posterior_cov = P - K @ S @ K.T
+    yhat = jnp.atleast_1d(h(m, r0, u))
+    innov = jnp.atleast_1d(y) - yhat
+    posterior_mean = m + K @ innov
+    chol = jnp.linalg.cholesky(S)
+    z = jax.scipy.linalg.solve_triangular(chol, innov, lower=True)
+    dy = innov.shape[-1]
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
+    ll = -0.5 * (dy * _LOG_2PI + logdet + jnp.sum(jnp.square(z)))
+    return EKFUpdate(ll, posterior_mean, posterior_cov, Hx, K)
+
+
 def ekf_step(
     m: jax.Array,
     P: jax.Array,
@@ -201,5 +238,6 @@ __all__ = [
     "ekf_predict",
     "ekf_condition_on",
     "ekf_condition_on_iterated",
+    "ekf_condition_on_ref",
     "ekf_step",
 ]

@@ -146,7 +146,16 @@ def ukf_condition_on_nonadditive(
 
 
 def _ukf_gain_update(m, P, mu_y, S, C, y):
-    """Shared Cholesky gain/likelihood: K = (S⁻¹C)ᵀ, Σ = P − K S Kᵀ."""
+    """Shared Cholesky gain/likelihood: K = (S⁻¹C)ᵀ.
+
+    The covariance downdate uses the Joseph-equivalent grouped form
+    ``P − KC − (KC)ᵀ + K S Kᵀ``: with the statistically-linearized
+    ``H = C P⁻¹`` this equals ``(I−KH) P (I−KH)ᵀ + K Ω Kᵀ`` exactly, so
+    unlike the naive ``P − K S Kᵀ`` it does not go indefinite under f32
+    cancellation on near-singular innovation covariances (the same rationale
+    as the EKF path's Joseph form, ops/ekf.py; the BOT benchmark runs at
+    R=2.5e-5 where the difference form loses all significant digits).
+    """
     from bayesianfiltering_tpu.ops.ekf import _REL_JITTER
 
     dy = y.shape[-1]
@@ -155,7 +164,10 @@ def _ukf_gain_update(m, P, mu_y, S, C, y):
     chol = fast_cholesky(S)
     linv = tri_inv_lower(chol)
     K = (linv.T @ (linv @ C)).T
-    posterior_cov = symmetrize(P - K @ S @ K.T)
+    KC = K @ C
+    # K S Kᵀ through the factor: (K L)(K L)ᵀ is PSD by construction.
+    KL = K @ chol
+    posterior_cov = symmetrize(P - KC - KC.T + KL @ KL.T)
     innov = y - mu_y
     posterior_mean = m + K @ innov
     z = linv @ innov
@@ -164,10 +176,82 @@ def _ukf_gain_update(m, P, mu_y, S, C, y):
     return ll, posterior_mean, posterior_cov
 
 
+def _ut_emission_moments(m, P, h: Callable, R, u, uparams: ParamsUKF, r0):
+    """UT moments of the emission at (m, P), non-additive noise:
+    returns (mu_y, S, C) with C the (dy, dx) cross-covariance."""
+    dx = m.shape[-1]
+    nr = r0.shape[-1]
+    n_aug = dx + nr
+    lamda = uparams.alpha**2 * (n_aug + uparams.kappa) - n_aug
+    mA, PA = _augment(m, P, r0, R)
+    pts = sigma_points(mA, PA, lamda, uparams.sqrt_method)
+    hA = lambda xA, uu: h(xA[:dx], xA[dx:], uu)
+    new_pts = vmap(hA, in_axes=(0, None))(pts, u)
+    center = h(m, r0, u)
+    mu_y, S, centered = _ut_moments(center, new_pts, lamda, n_aug, uparams.alpha,
+                                    uparams.beta)
+    C = jnp.einsum("ij,ik->jk", centered, pts[:, :dx] - m) / (2.0 * (lamda + n_aug))
+    return mu_y, symmetrize(S), C
+
+
+def ukf_condition_on_nonadditive_iterated(
+    m, P, h: Callable, R, u, y, uparams: ParamsUKF, r0, num_iter: int = 1
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Iterated posterior-linearization UKF update (IPLF).
+
+    ``num_iter=1`` is exactly :func:`ukf_condition_on_nonadditive`. For
+    ``num_iter>1``, each iteration statistically linearizes the emission
+    around the *current posterior* ``(m_i, P_i)`` — ``H = C P_i⁻¹``,
+    ``b = μ_y − H m_i``, residual ``Ω = S − H P_i Hᵀ`` — and re-runs the
+    Kalman update of the prior ``(m, P)`` with that affine model
+    (García-Fernández et al., "Posterior linearization filter", 2015).
+    This is the UKF-moments analog of the IEKF relinearization loop in
+    :func:`bayesianfiltering_tpu.ops.ekf.ekf_condition_on_iterated`; the
+    reference accepts ``num_iter`` on its UKF filters but ignores it
+    (ref: gaussfiltax/inference.py:379-456).
+    """
+    if num_iter <= 1:
+        return ukf_condition_on_nonadditive(m, P, h, R, u, y, uparams, r0)
+    from bayesianfiltering_tpu.utils.linalg import psd_solve
+
+    y = jnp.atleast_1d(y)
+    dx = m.shape[-1]
+    eye = jnp.eye(dx, dtype=P.dtype)
+
+    def body(_, carry):
+        m_i, P_i, _ = carry
+        mu_y, S_i, C = _ut_emission_moments(m_i, P_i, h, R, u, uparams, r0)
+        # Statistical linearization around (m_i, P_i).
+        H = psd_solve(P_i, C.T).T                      # (dy, dx)
+        omega = symmetrize(S_i - H @ P_i @ H.T)        # SLR residual cov
+        # Kalman update of the PRIOR (m, P) under y = Hx + b + e, e~N(0, Ω).
+        S = symmetrize(H @ P @ H.T + omega)
+        floor = 1e-6 * jnp.max(jnp.abs(jnp.diagonal(S)))
+        S = S + floor * jnp.eye(S.shape[-1], dtype=S.dtype)
+        chol = fast_cholesky(S)
+        linv = tri_inv_lower(chol)
+        hp = H @ P
+        K = (linv.T @ (linv @ hp)).T
+        innov = y - mu_y - H @ (m - m_i)
+        m_new = m + K @ innov
+        A = eye - K @ H
+        P_new = symmetrize(A @ P @ A.T + K @ omega @ K.T)
+        z = linv @ innov
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        ll = -0.5 * (y.shape[-1] * _LOG_2PI + logdet + jnp.sum(jnp.square(z)))
+        return m_new, P_new, ll
+
+    m_out, P_out, ll = jax.lax.fori_loop(
+        0, num_iter, body, (m, P, jnp.zeros((), P.dtype))
+    )
+    return ll, m_out, P_out
+
+
 __all__ = [
     "ParamsUKF",
     "ukf_predict_additive",
     "ukf_predict_nonadditive",
     "ukf_condition_on_additive",
     "ukf_condition_on_nonadditive",
+    "ukf_condition_on_nonadditive_iterated",
 ]

@@ -172,16 +172,18 @@ def make_bpf_stepper(params: ParamsBPF, num_particles: int,
         ess = effective_sample_size(w)
 
         def do_resample(args):
-            ww, p = args
-            idx = resample_fn(k_res, ww, num_particles)
+            lw, p = args
+            idx = resample_fn(k_res, jnp.exp(lw), num_particles)
             return (
-                jnp.full((num_particles,), -jnp.log(num_particles), ww.dtype),
+                jnp.full((num_particles,), -jnp.log(num_particles), lw.dtype),
                 jnp.take(p, idx, axis=0),
             )
 
+        # No-resample branch passes log weights through unchanged: an
+        # exp/log round-trip turns f32-underflowed weights into -inf.
         log_w, particles = lax.cond(
             ess < ess_threshold * num_particles, do_resample,
-            lambda args: (jnp.log(args[0]), args[1]), (w, particles),
+            lambda args: args, (log_w, particles),
         )
         new_state = BPFState(log_w, particles, key)
         return new_state, {"mean": w @ particles, "ess": ess}

@@ -73,6 +73,31 @@ def project_to_psd(delta: jax.Array) -> jax.Array:
     return symmetrize(projected)
 
 
+def project_to_psd_ns(delta: jax.Array, num_iters: int = 16) -> jax.Array:
+    """PSD-cone projection via the polar form — matmuls only.
+
+    ``proj(A) = (A + (A²)^{1/2}) / 2`` equals the eigenvalue clamp of
+    :func:`project_to_psd` for symmetric ``A``, but runs entirely on the MXU
+    through the Newton–Schulz square root. Use inside ``lax.scan`` compute
+    paths: ``jnp.linalg.eigh`` is loop-lowered on TPU and hard-faults the
+    device at n≥512 inside scans (BENCHLOG.md). Eigenvalues within ~1e-6 of
+    the spectral radius of zero converge partially — clamp error at the
+    jitter scale.
+    """
+    a = symmetrize(delta)
+    a2 = jnp.matmul(a, a, precision=_HI)
+    root = sqrtm_psd_ns(a2, num_iters)
+    return symmetrize(0.5 * (a + root))
+
+
+def project_to_psd_fast(delta: jax.Array) -> jax.Array:
+    """PSD projection dispatcher: Newton–Schulz polar form (matmul-only) for
+    the small matrices filters live on, eigh beyond ``_BLOCK_MAX``."""
+    if delta.shape[-1] <= _BLOCK_MAX:
+        return project_to_psd_ns(delta)
+    return project_to_psd(delta)
+
+
 def sqrtm_psd_eigh(p: jax.Array) -> jax.Array:
     """Symmetric PSD matrix square root via eigendecomposition.
 
@@ -300,6 +325,8 @@ __all__ = [
     "symmetrize",
     "psd_solve",
     "project_to_psd",
+    "project_to_psd_ns",
+    "project_to_psd_fast",
     "sqrtm_psd",
     "cholesky_guarded",
     "sandwich",

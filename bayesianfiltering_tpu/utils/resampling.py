@@ -158,6 +158,13 @@ def optimal_resampling(weights: jax.Array, N: int, key: PRNGKey):
     ``w_(M−k) < p_k < w_(M−k+1)``.
     """
     M = weights.shape[0]
+    if N == 1:
+        # Degenerate target: nothing can be kept deterministically — one
+        # multinomial draw. (The general path below would build zero-length
+        # threshold arrays and gather from them, which is undefined under
+        # jit even inside an unselected jnp.where branch.)
+        idx = multinomial_resample(key, weights / jnp.sum(weights), 1)
+        return idx, jnp.ones((1,), weights.dtype)
     order = jnp.argsort(weights)
     sw = weights[order]
     csum = jnp.cumsum(sw)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from bayesianfiltering_tpu.utils.linalg import project_to_psd
+from bayesianfiltering_tpu.utils.linalg import project_to_psd_fast
 
 
 def _vec(x: jax.Array, n: int) -> jax.Array:
@@ -45,10 +45,19 @@ def _second_order_operator(hessian: jax.Array, n: int) -> jax.Array:
 
 
 def _double_projection(delta: jax.Array, p: jax.Array) -> jax.Array:
-    """Project onto {Δ : 0 ⪯ Δ ⪯ P} (alternating, as in the reference)."""
-    delta = project_to_psd(delta)
-    delta = p - project_to_psd(p - delta)
-    return project_to_psd(delta)
+    """Project onto {Δ : 0 ⪯ Δ ⪯ P} (alternating, as in the reference).
+
+    Uses the matmul-only Newton–Schulz PSD projection rather than the
+    eigh-based clamp: this function runs inside ``lax.while_loop`` inside the
+    filter scan (autocov="sdp"), and eigh-in-scan is loop-lowered on TPU and
+    hard-faults the device at n≥512 (CLAUDE.md / BENCHLOG.md). Note the
+    fixed-point solver itself is still O(n⁴) memory in the state dimension
+    (the (n², n²) second-order operator) — autocov="sdp" is for small-to-
+    moderate dx, which is the regime the AGSF splits in.
+    """
+    delta = project_to_psd_fast(delta)
+    delta = p - project_to_psd_fast(p - delta)
+    return project_to_psd_fast(delta)
 
 
 def _fixed_point(lhs, aid, p, n, tol, max_iters=100):

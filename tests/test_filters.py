@@ -113,14 +113,71 @@ class TestAGSF:
                        jr.PRNGKey(1), 1, (0.1, 0.1), inputs)
         _check_mixture_posterior(post, 4, T, 3, psd=False)
 
-    def test_agsf_autocov_strategies(self, bot):
+    @pytest.mark.parametrize("strategy", ["prop", "eye", "sdp", "trace"])
+    def test_agsf_autocov_strategies(self, strategy):
+        """All four splitting-covariance strategies must run inside the
+        engine on a Hessian-bearing model (sdp/trace exercise the
+        Hessian-reshape paths; ref commented branches at
+        gaussfiltax/inference.py:226-301)."""
+        model, params, _ = zoo.quadratic_measurement()
+        states, emissions = model.sample(params, jr.PRNGKey(2), 25)
+        post, aux = gf.augmented_gaussian_sum_filter(
+            params, emissions, [3, 2, 2], jr.PRNGKey(1), 1, (0.1, 0.1),
+            autocov=strategy,
+        )
+        assert bool(jnp.all(jnp.isfinite(post.means)))
+        assert bool(jnp.all(jnp.isfinite(aux["Deltas"])))
+        assert bool(jnp.all(jnp.isfinite(aux["Lambdas"])))
+        # splitting covariances must stay within the PSD order bound Δ ⪯ P-ish
+        # (loose sanity: finite, symmetric, non-explosive)
+        d = aux["Deltas"]
+        np.testing.assert_allclose(d, jnp.swapaxes(d, -1, -2), atol=1e-5)
+
+    @pytest.mark.parametrize("strategy", ["sdp", "trace"])
+    def test_agsf_autocov_strategies_bot(self, bot, strategy):
+        """sdp/trace on the 4-D BOT model (vector emission Hessians)."""
         _, params, _, inputs, _, emissions = bot
-        for strategy in ("prop", "eye"):
-            post, _ = gf.augmented_gaussian_sum_filter(
-                params, emissions, [3, 2, 2], jr.PRNGKey(1), 1, (0.1, 0.1),
-                inputs, autocov=strategy,
-            )
-            assert bool(jnp.all(jnp.isfinite(post.means)))
+        post, _ = gf.augmented_gaussian_sum_filter(
+            params, emissions[:10], [3, 2, 2], jr.PRNGKey(1), 1, (0.1, 0.1),
+            inputs[:10], autocov=strategy,
+        )
+        assert bool(jnp.all(jnp.isfinite(post.means)))
+
+    def test_agsf_num_iter_honored(self, bot):
+        """num_iter must change the AGSF update (IEKF relinearization) —
+        it was silently ignored in round 1 (VERDICT.md weak #5)."""
+        _, params, _, inputs, _, emissions = bot
+        run = lambda k: gf.augmented_gaussian_sum_filter(
+            params, emissions, [3, 2, 2], jr.PRNGKey(1), k, (0.1, 0.1), inputs
+        )[0].means
+        m1, m3 = run(1), run(3)
+        assert bool(jnp.all(jnp.isfinite(m3)))
+        assert float(jnp.max(jnp.abs(m1 - m3))) > 1e-6
+
+    def test_ugsf_num_iter_honored(self):
+        model, params, _ = zoo.stochastic_volatility()
+        T = 20
+        inputs = jnp.array([0] * (T // 2) + [1] * (T - T // 2))
+        _, emissions = model.sample(params, jr.PRNGKey(0), T, inputs=inputs)
+        run = lambda k: gf.unscented_gaussian_sum_filter(
+            params, ParamsUKF(alpha=1.0), emissions, 4, k, inputs
+        ).means
+        m1, m3 = run(1), run(3)
+        assert bool(jnp.all(jnp.isfinite(m3)))
+        assert float(jnp.max(jnp.abs(m1 - m3))) > 1e-7
+
+    def test_agsf_rng_key_controls_init(self, bot):
+        """The caller's rng_key must control the mixture init draw; round 1
+        hard-coded PRNGKey(0) (VERDICT.md weak #7). compat_fixed_keys=True
+        restores the reference's fixed-key init."""
+        _, params, _, inputs, _, emissions = bot
+        run = lambda key, **kw: gf.augmented_gaussian_sum_filter(
+            params, emissions[:5], [3, 2, 2], key, 1, (0.1, 0.1),
+            inputs[:5], **kw,
+        )[0].means
+        assert float(jnp.max(jnp.abs(run(jr.PRNGKey(1)) - run(jr.PRNGKey(2))))) > 1e-6
+        np.testing.assert_array_equal(run(jr.PRNGKey(1), compat_fixed_keys=True),
+                                      run(jr.PRNGKey(1), compat_fixed_keys=True))
 
     def test_agsf_is_jittable(self, bot):
         _, params, _, inputs, _, emissions = bot
@@ -216,6 +273,92 @@ class TestAccuracy:
                                          inputs=inputs)
         post = gf.extended_kalman_filter(params, emissions, inputs=inputs)
         assert bool(jnp.all(jnp.isfinite(post.filtered_means)))
+
+
+class TestIteratedUpdates:
+    """IEKF / IPLF relinearization (num_iter semantics, VERDICT.md #6)."""
+
+    def _stiff_update_args(self):
+        h = lambda x, r, u: 0.05 * x**2 + r
+        H_x = jax.jacfwd(h, 0)
+        H_r = jax.jacfwd(h, 1)
+        m = jnp.array([1.0])
+        P = 4.0 * jnp.eye(1)
+        R = 0.01 * jnp.eye(1)
+        r0 = jnp.zeros(1)
+        y = jnp.array([0.05 * 3.0**2])  # true state at 3.0 — far from m
+        return h, H_x, H_r, m, P, R, r0, y
+
+    def test_iekf_improves_stiff_update(self):
+        from bayesianfiltering_tpu.ops import ekf as _ekf
+
+        h, H_x, H_r, m, P, R, r0, y = self._stiff_update_args()
+        residual = lambda upd: abs(float(y[0] - 0.05 * upd.mean[0] ** 2))
+        u1 = _ekf.ekf_condition_on_iterated(m, P, h, H_x, H_r, R, r0, 0.0, y, 1)
+        u8 = _ekf.ekf_condition_on_iterated(m, P, h, H_x, H_r, R, r0, 0.0, y, 8)
+        assert residual(u8) < residual(u1)
+
+    def test_iplf_num_iter_one_matches_plain_ukf(self):
+        from bayesianfiltering_tpu.ops import ukf as _ukf
+
+        h, _, _, m, P, R, r0, y = self._stiff_update_args()
+        up = ParamsUKF(alpha=1.0)
+        plain = _ukf.ukf_condition_on_nonadditive(m, P, h, R, 0.0, y, up, r0)
+        it1 = _ukf.ukf_condition_on_nonadditive_iterated(
+            m, P, h, R, 0.0, y, up, r0, 1
+        )
+        for a, b in zip(plain, it1):
+            np.testing.assert_array_equal(a, b)
+
+    def test_iplf_improves_stiff_update(self):
+        from bayesianfiltering_tpu.ops import ukf as _ukf
+
+        h, _, _, m, P, R, r0, y = self._stiff_update_args()
+        up = ParamsUKF(alpha=1.0)
+        res = {}
+        for k in (1, 8):
+            _, mean, cov = _ukf.ukf_condition_on_nonadditive_iterated(
+                m, P, h, R, 0.0, y, up, r0, k
+            )
+            assert bool(jnp.all(jnp.isfinite(mean)))
+            assert float(jnp.linalg.eigvalsh(cov).min()) > -1e-5
+            res[k] = abs(float(y[0] - 0.05 * mean[0] ** 2))
+        assert res[8] < res[1]
+
+    def test_ukf_update_psd_on_tiny_noise(self):
+        """Joseph-style grouped downdate keeps the UKF posterior covariance
+        PSD with near-singular innovation covariance (ADVICE.md #5; the
+        difference form P − K S Kᵀ goes indefinite under f32 cancellation)."""
+        from bayesianfiltering_tpu.ops import ukf as _ukf
+
+        h = lambda x, r, u: x[:1] + r  # observe first coordinate
+        m = jnp.array([0.3, -0.2])
+        P = jnp.array([[2.0, 0.5], [0.5, 1.0]])
+        R = 2.5e-5 * jnp.eye(1)  # the BOT bearing-noise scale
+        r0 = jnp.zeros(1)
+        y = jnp.array([1.0])
+        _, _, cov = _ukf.ukf_condition_on_nonadditive(
+            m, P, h, R, 0.0, y, ParamsUKF(alpha=1.0), r0
+        )
+        assert float(jnp.linalg.eigvalsh(cov).min()) > -1e-6
+
+
+class TestBPFLogWeights:
+    def test_underflowed_weights_survive_no_resample(self, bot):
+        """f32-underflowed weights (w=0, finite log-weight) must not become
+        -inf through the no-resample branch (ADVICE.md #2)."""
+        from bayesianfiltering_tpu.streaming import make_bpf_stepper
+
+        _, _, bpf_params, inputs, _, emissions = bot
+        # Harsh likelihood: most particles' log-weights < -88 (f32 exp
+        # underflow) after one step.
+        harsh = lambda x, y, u: -2000.0 * jnp.sum(jnp.square(x[:2] - 100.0))
+        params = bpf_params._replace(emission_distribution_log_prob=harsh)
+        stepper = make_bpf_stepper(params, 64, ess_threshold=0.0)  # never resample
+        state = stepper.init(jr.PRNGKey(0))
+        for t in range(3):
+            state, _ = stepper.step(state, emissions[t], inputs[t], t)
+        assert bool(jnp.all(jnp.isfinite(state.log_weights))), state.log_weights
 
 
 class TestTimeVaryingNoise:

@@ -1,0 +1,406 @@
+"""Golden numerical-parity harness against the reference's step formulas.
+
+SURVEY.md §4(b) / BASELINE.md demand filter means/covariances matching the
+CPU reference to 1e-5. The reference itself cannot be imported here (its TFP
+dependency is absent), so this module vendors its step *formulas* — verbatim
+math, float64 — as in-test oracles:
+
+* ``ref_psd_solve``      — ref: gaussfiltax/utils.py:256-259 (NOTE: adds the
+  scalar 1e-6 to EVERY ENTRY of A, not the diagonal — the quirk is part of
+  the oracle).
+* ``ref_predict`` / ``ref_condition_on`` — ref: gaussfiltax/inference.py:51-105.
+* ``ref_sigma_points``   — ref: gaussfiltax/utils.py:247-254 (scipy sqrtm).
+* ``ref_ukf_predict_nonadditive`` / ``ref_ukf_condition_on_nonadditive`` —
+  ref: gaussfiltax/inference.py:146-174,198-224.
+* GSF / AGSF step composition — ref: gaussfiltax/inference.py:333-371,654-771.
+
+Every test runs in float64 (so the comparison measures formula parity, not
+f32 rounding) and asserts the package's step outputs match the oracle to
+1e-5 on well-scaled models. Models where the reference's scalar-jitter quirk
+is *material* (innovation covariance ≲1e-5, e.g. the BOT bearing noise) are
+exactly where this package intentionally deviates (relative jitter + Joseph
+form, see ops/ekf.py) — parity is asserted on models where the quirk is
+immaterial, and the quirk itself is pinned by its own test.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+import scipy.linalg
+
+import bayesianfiltering_tpu.inference as gf
+from bayesianfiltering_tpu.models import zoo
+from bayesianfiltering_tpu.ops import ParamsUKF
+from bayesianfiltering_tpu.ops import ukf as _ukf
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def x64():
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
+
+
+# ---------------------------------------------------------------------------
+# The oracle: reference formulas, verbatim, float64
+# ---------------------------------------------------------------------------
+
+def ref_psd_solve(A, b):
+    # ref: gaussfiltax/utils.py:256-259 — scalar added to every entry.
+    return jnp.linalg.solve(A + 1e-6, b)
+
+
+def ref_mvn_log_prob(mean, cov, y):
+    # TFP MultivariateNormalFullCovariance.log_prob math
+    # (ref: gaussfiltax/inference.py:24).
+    d = jnp.atleast_1d(y) - mean
+    L = np.linalg.cholesky(np.asarray(cov, np.float64))
+    z = scipy.linalg.solve_triangular(L, np.asarray(d, np.float64), lower=True)
+    k = d.shape[-1]
+    return -0.5 * (k * _LOG_2PI + 2.0 * np.sum(np.log(np.diag(L))) + z @ z)
+
+
+def ref_predict(m, P, f, F_x, F_q, Q, q0, u):
+    # ref: gaussfiltax/inference.py:51-70
+    Fx = F_x(m, q0, u)
+    Fq = F_q(m, q0, u)
+    mu_pred = f(m, q0, u)
+    Sigma_pred = Fx @ P @ Fx.T + Fq @ Q @ Fq.T
+    return mu_pred, Sigma_pred, Fx
+
+
+def ref_condition_on(m, P, h, H_x, H_r, R, r0, u, y, quirk=True):
+    # ref: gaussfiltax/inference.py:72-105. ``quirk=False`` replaces the
+    # scalar-jitter LU solve with a clean solve — the math the reference
+    # evidently intended.
+    Hx = H_x(m, r0, u)
+    Hr = H_r(m, r0, u)
+    S = Hr @ R @ Hr.T + Hx @ P @ Hx.T
+    solve = ref_psd_solve if quirk else jnp.linalg.solve
+    K = solve(S, Hx @ P).T
+    posterior_cov = P - K @ S @ K.T
+    posterior_mean = m + K @ (jnp.atleast_1d(y) - h(m, r0, u))
+    ll = ref_mvn_log_prob(h(m, r0, u), S, y)
+    return ll, posterior_mean, posterior_cov
+
+
+def ref_sigma_points(m, P, ulambda):
+    # ref: gaussfiltax/utils.py:247-254 — Schur-based sqrtm, real part.
+    dx = m.shape[0]
+    L = jnp.real(jnp.asarray(scipy.linalg.sqrtm(np.asarray(P, np.float64))))
+    plus = jnp.stack([m] * dx, axis=0) + jnp.sqrt(dx + ulambda) * L.T
+    minus = jnp.stack([m] * dx, axis=0) - jnp.sqrt(dx + ulambda) * L.T
+    return jnp.concatenate([plus, minus], axis=0)
+
+
+def ref_ukf_predict_nonadditive(m, P, f, u, Q, up, q0):
+    # ref: gaussfiltax/inference.py:146-174
+    dx, nq = m.shape[0], Q.shape[0]
+    lam = up.alpha**2 * (dx + nq + up.kappa) - (dx + nq)
+    mA = jnp.concatenate((m, q0))
+    PA = jnp.block([
+        [P, jnp.zeros((dx, nq))], [jnp.zeros((nq, dx)), Q]
+    ])
+    pts = ref_sigma_points(mA, PA, lam)
+    fA = lambda xA, uu: f(xA[:dx], xA[dx:], uu)
+    new_pts = jax.vmap(fA, in_axes=(0, None))(pts, u)
+    n = dx + nq
+    mu = jnp.sum(new_pts, axis=0) / (2 * (lam + n)) + f(m, q0, u) * lam / (lam + n)
+    Sigma = (
+        jnp.einsum("ij,ik->jk", new_pts - mu, new_pts - mu) / (2 * (lam + n))
+        + (lam / (lam + n) + 1 - up.alpha**2 + up.beta)
+        * jnp.einsum("i,j->ij", f(m, q0, u) - mu, f(m, q0, u) - mu)
+    )
+    return mu, Sigma
+
+
+def ref_ukf_condition_on_nonadditive(m, P, h, R, u, y, up, r0):
+    # ref: gaussfiltax/inference.py:198-224
+    dx, nr = m.shape[0], r0.shape[0]
+    lam = up.alpha**2 * (dx + nr + up.kappa) - (dx + nr)
+    mA = jnp.concatenate((m, r0))
+    PA = jnp.block([
+        [P, jnp.zeros((dx, nr))], [jnp.zeros((nr, dx)), R]
+    ])
+    pts = ref_sigma_points(mA, PA, lam)
+    hA = lambda xA, uu: h(xA[:dx], xA[dx:], uu)
+    new_pts = jax.vmap(hA, in_axes=(0, None))(pts, u)
+    n = dx + nr
+    mu = jnp.sum(new_pts, axis=0) / (2 * (lam + n)) + h(m, r0, u) * lam / (lam + n)
+    S = (
+        jnp.einsum("ij,ik->jk", new_pts - mu, new_pts - mu) / (2 * (lam + n))
+        + (lam / (lam + n) + 1 - up.alpha**2 + up.beta)
+        * jnp.einsum("i,j->ij", h(m, r0, u) - mu, h(m, r0, u) - mu)
+    )
+    C = jnp.einsum("ij,ik->jk", new_pts - mu, pts[:, :dx] - m) / (2 * (lam + n))
+    K = ref_psd_solve(S, C).T
+    posterior_cov = P - K @ S @ K.T
+    posterior_mean = m + K @ (jnp.atleast_1d(y) - mu)
+    ll = ref_mvn_log_prob(mu, S, y)
+    return ll, posterior_mean, posterior_cov
+
+
+def _jacs(params):
+    f, h = params.dynamics_function, params.emission_function
+    return (f, h, jax.jacfwd(f, 0), jax.jacfwd(h, 0), jax.jacfwd(f, 1),
+            jax.jacfwd(h, 1))
+
+
+def _f64_params(params):
+    cast = lambda x: jnp.asarray(x, jnp.float64) if hasattr(x, "dtype") else x
+    return params._replace(
+        initial_mean=cast(params.initial_mean),
+        initial_covariance=cast(params.initial_covariance),
+        dynamics_noise_bias=cast(params.dynamics_noise_bias),
+        dynamics_noise_covariance=cast(params.dynamics_noise_covariance),
+        emission_noise_bias=cast(params.emission_noise_bias),
+        emission_noise_covariance=cast(params.emission_noise_covariance),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+
+class TestQuirkPins:
+    def test_psd_solve_compat_scalar_is_the_reference_quirk(self):
+        from bayesianfiltering_tpu.utils.linalg import psd_solve
+
+        A = jnp.array([[2.0, 0.3], [0.3, 1.0]])
+        b = jnp.array([1.0, -2.0])
+        np.testing.assert_allclose(
+            psd_solve(A, b, compat_scalar=True), ref_psd_solve(A, b),
+            rtol=1e-12,
+        )
+        # and the quirk is NOT the same as a diagonal jitter
+        assert float(jnp.max(jnp.abs(
+            ref_psd_solve(A, b) - jnp.linalg.solve(A + 1e-6 * jnp.eye(2), b)
+        ))) > 0.0
+
+    def test_sigma_points_match_reference_sqrtm(self):
+        from bayesianfiltering_tpu.utils.sigma_points import sigma_points
+
+        P = jnp.array([[2.0, 0.5, 0.1], [0.5, 1.5, 0.2], [0.1, 0.2, 1.0]])
+        m = jnp.array([0.5, -1.0, 2.0])
+        lam = 1.0**2 * 3 - 3  # alpha=1, kappa=0
+        ours = sigma_points(m, P, lam, "sqrtm")
+        ref = ref_sigma_points(m, P, lam)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-8)
+
+
+class TestEKFGolden:
+    @pytest.mark.parametrize("model_name", ["linear_gaussian", "scalar_growth"])
+    @pytest.mark.parametrize("compat", [True, False])
+    def test_ekf_scan_matches_reference(self, model_name, compat):
+        """Full EKF pass vs the reference's condition→predict loop.
+
+        compat=True: reference-exact update (quirk included) — parity far
+        below the 1e-5 BASELINE bar. compat=False: our default numerics vs
+        the quirk-free oracle — the only deliberate deviations are the
+        relative S-floor and Joseph form (ops/ekf.py), bounded here at 2e-4
+        relative on the stiff scalar-growth model (1e-5 on well-scaled
+        models; gain-sensitivity amplifies the 1e-6 S-floor when P/S is
+        large)."""
+        T = 30
+        if model_name == "linear_gaussian":
+            model, params, _ = zoo.linear_gaussian(2, 2, r=0.5)
+            inputs = None
+        else:
+            model, params, _ = zoo.scalar_growth()
+            inputs = jnp.arange(float(T))[:, None]
+        params = _f64_params(params)
+        _, emissions = model.sample(params, jr.PRNGKey(0), T, inputs=inputs)
+        emissions = jnp.asarray(emissions, jnp.float64)
+
+        post = gf.extended_kalman_filter(params, emissions, inputs=inputs,
+                                         compat_scalar=compat)
+        if compat:
+            rtol, atol = 1e-8, 1e-9
+        elif model_name == "scalar_growth":
+            rtol, atol = 2e-4, 1e-6
+        else:
+            rtol, atol = 1e-5, 1e-6
+
+        f, h, F_x, H_x, F_q, H_r = _jacs(params)
+        Q, q0 = params.dynamics_noise_covariance, params.dynamics_noise_bias
+        R, r0 = params.emission_noise_covariance, params.emission_noise_bias
+        u_of = (lambda t: jnp.zeros(1)) if inputs is None else (lambda t: inputs[t])
+        m, P = params.initial_mean, params.initial_covariance
+        ll_tot = 0.0
+        for t in range(T):
+            u, y = u_of(t), emissions[t]
+            ll, m, P = ref_condition_on(m, P, h, H_x, H_r, R, r0, u, y,
+                                        quirk=compat)
+            ll_tot += float(ll)
+            np.testing.assert_allclose(post.filtered_means[t], m,
+                                       rtol=rtol, atol=atol)
+            np.testing.assert_allclose(post.filtered_covariances[t], P,
+                                       rtol=rtol, atol=atol)
+            m, P, _ = ref_predict(m, P, f, F_x, F_q, Q, q0, u)
+        np.testing.assert_allclose(float(post.marginal_loglik), ll_tot,
+                                   rtol=1e-5, atol=1e-4)
+
+
+class TestUKFGolden:
+    def test_ukf_scan_matches_reference_to_1e5(self):
+        model, params, _ = zoo.linear_gaussian(2, 2, r=0.5)
+        params = _f64_params(params)
+        T = 20
+        _, emissions = model.sample(params, jr.PRNGKey(1), T)
+        emissions = jnp.asarray(emissions, jnp.float64)
+        up = ParamsUKF(alpha=1.0, sqrt_method="sqrtm")
+
+        post = gf.unscented_kalman_filter(params, up, emissions)
+
+        f, h = params.dynamics_function, params.emission_function
+        Q, q0 = params.dynamics_noise_covariance, params.dynamics_noise_bias
+        R, r0 = params.emission_noise_covariance, params.emission_noise_bias
+        m, P = params.initial_mean, params.initial_covariance
+        u = jnp.zeros(1)
+        for t in range(T):
+            y = emissions[t]
+            _, m, P = ref_ukf_condition_on_nonadditive(m, P, h, R, u, y, up, r0)
+            np.testing.assert_allclose(post.filtered_means[t], m,
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(post.filtered_covariances[t], P,
+                                       rtol=1e-5, atol=1e-5)
+            m, P = ref_ukf_predict_nonadditive(m, P, f, u, Q, up, q0)
+
+    def test_ukf_reference_default_alpha(self):
+        """Parity at the reference's alpha=1e-3 default (extreme weights)."""
+        model, params, _ = zoo.linear_gaussian(2, 2, r=0.5)
+        params = _f64_params(params)
+        T = 8
+        _, emissions = model.sample(params, jr.PRNGKey(2), T)
+        emissions = jnp.asarray(emissions, jnp.float64)
+        up = ParamsUKF()  # alpha=1e-3, reference default
+        post = gf.unscented_kalman_filter(params, up, emissions)
+        h = params.emission_function
+        R, r0 = params.emission_noise_covariance, params.emission_noise_bias
+        m, P = params.initial_mean, params.initial_covariance
+        _, m1, P1 = ref_ukf_condition_on_nonadditive(
+            m, P, h, R, jnp.zeros(1), emissions[0], up, r0
+        )
+        np.testing.assert_allclose(post.filtered_means[0], m1,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(post.filtered_covariances[0], P1,
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestGSFGolden:
+    def test_gsf_bank_matches_reference_to_1e5(self):
+        """M-component GSF scan vs the reference's vmapped bank loop,
+        identical initial mixture (ref: gaussfiltax/inference.py:333-371)."""
+        from bayesianfiltering_tpu.inference import _init_mixture
+
+        model, params, _ = zoo.linear_gaussian(2, 2, r=0.5)
+        params = _f64_params(params)
+        T, M = 15, 4
+        _, emissions = model.sample(params, jr.PRNGKey(3), T)
+        emissions = jnp.asarray(emissions, jnp.float64)
+
+        post = gf.gaussian_sum_filter(params, emissions, M)
+
+        f, h, F_x, H_x, F_q, H_r = _jacs(params)
+        Q, q0 = params.dynamics_noise_covariance, params.dynamics_noise_bias
+        R, r0 = params.emission_noise_covariance, params.emission_noise_bias
+        w, means, covs = _init_mixture(params, M, jr.PRNGKey(0))
+        means = [means[i] for i in range(M)]
+        covs = [covs[i] for i in range(M)]
+        w = np.asarray(w, np.float64)
+        u = jnp.zeros(1)
+        for t in range(T):
+            y = emissions[t]
+            lls = np.zeros(M)
+            for i in range(M):
+                ll, mm, pp = ref_condition_on(
+                    means[i], covs[i], h, H_x, H_r, R, r0, u, y
+                )
+                lls[i], means[i], covs[i] = float(ll), mm, pp
+            # weight update (ref: gaussfiltax/inference.py:347-350)
+            lls -= lls.max()
+            w = w * np.exp(lls)
+            w = w / w.sum()
+            np.testing.assert_allclose(post.weights[:, t], w,
+                                       rtol=1e-5, atol=1e-7)
+            for i in range(M):
+                np.testing.assert_allclose(post.means[i, t], means[i],
+                                           rtol=1e-5, atol=1e-5)
+                np.testing.assert_allclose(post.covariances[i, t], covs[i],
+                                           rtol=1e-5, atol=1e-5)
+                means[i], covs[i], _ = ref_predict(
+                    means[i], covs[i], f, F_x, F_q, Q, q0, u
+                )
+
+
+class TestAGSFGolden:
+    def test_agsf_step_deterministic_parity(self):
+        """One AGSF step: given identical split draws (same split function,
+        same keys the engine derives internally), the deterministic pipeline
+        split→predict→split→update→reweight must match the reference
+        formula chain to 1e-5 (ref: gaussfiltax/inference.py:654-771)."""
+        from bayesianfiltering_tpu.containers import GaussianSum, split_gaussian_sum
+        from bayesianfiltering_tpu.inference import _init_mixture
+
+        model, params, _ = zoo.linear_gaussian(2, 2, r=0.5)
+        params = _f64_params(params)
+        T, M, N, L = 1, 3, 2, 2
+        _, emissions = model.sample(params, jr.PRNGKey(4), T)
+        emissions = jnp.asarray(emissions, jnp.float64)
+        rng_key = jr.PRNGKey(7)
+        a0 = a1 = 0.1
+
+        post, aux = gf.augmented_gaussian_sum_filter(
+            params, emissions, [M, N, L], rng_key, 1, (a0, a1)
+        )
+
+        # Reproduce the engine's internal key schedule (inference.py).
+        init_key, scan_key = jr.split(rng_key)
+        key_t = jr.fold_in(scan_key, 0)
+        key_split1, key_split2, _ = jr.split(key_t, 3)
+
+        w0, m0, P0 = _init_mixture(params, M, init_key)
+        deltas = a0 * P0
+        to_predict = split_gaussian_sum(
+            key_split1, GaussianSum(m0, P0, w0), deltas, N
+        )
+
+        f, h, F_x, H_x, F_q, H_r = _jacs(params)
+        Q, q0 = params.dynamics_noise_covariance, params.dynamics_noise_bias
+        R, r0 = params.emission_noise_covariance, params.emission_noise_bias
+        u, y = jnp.zeros(1), emissions[0]
+
+        pred = [
+            ref_predict(to_predict.means[i], to_predict.covariances[i],
+                        f, F_x, F_q, Q, q0, u)
+            for i in range(M * N)
+        ]
+        pred_means = jnp.stack([p[0] for p in pred])
+        pred_covs = jnp.stack([p[1] for p in pred])
+        lambdas = a1 * pred_covs
+        to_update = split_gaussian_sum(
+            key_split2,
+            GaussianSum(pred_means, pred_covs, to_predict.weights),
+            lambdas, L,
+        )
+        upd = [
+            ref_condition_on(to_update.means[i], to_update.covariances[i],
+                             h, H_x, H_r, R, r0, u, y)
+            for i in range(M * N * L)
+        ]
+        lls = np.array([float(x[0]) for x in upd])
+        upd_means = np.stack([np.asarray(x[1]) for x in upd])
+        lls -= lls.max()
+        w = np.asarray(to_update.weights, np.float64) * np.exp(lls)
+        w = w / w.sum()
+
+        np.testing.assert_allclose(aux["updated_means"][0], upd_means,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(aux["pre_weights"][0], w,
+                                   rtol=1e-5, atol=1e-7)

@@ -165,6 +165,43 @@ class TestResampling:
         assert idx.shape == (6,)
         np.testing.assert_allclose(jnp.sum(new_w), 1.0, rtol=1e-5)
 
+    def test_optimal_resampling_single_target(self):
+        """N=1 previously gathered from a zero-length threshold array
+        (ADVICE.md #3); must return one valid index with weight 1."""
+        w = jnp.array([0.1, 0.2, 0.65, 0.05])
+        idx, new_w = utils.optimal_resampling(w, 1, jr.PRNGKey(7))
+        assert idx.shape == (1,)
+        assert 0 <= int(idx[0]) < 4
+        np.testing.assert_allclose(new_w, jnp.ones(1))
+        # reachable through the public mixture-reduction path too
+        from bayesianfiltering_tpu.containers import (
+            GaussianSum, reduce_gaussian_sum,
+        )
+        gs = GaussianSum(
+            jnp.arange(4.0)[:, None],
+            jnp.broadcast_to(jnp.eye(1), (4, 1, 1)),
+            w,
+        )
+        red = reduce_gaussian_sum(gs, 1, jr.PRNGKey(8), "optimal")
+        assert red.means.shape == (1, 1)
+        assert bool(jnp.all(jnp.isfinite(red.means)))
+
+    def test_project_to_psd_ns_matches_eigh(self):
+        """Matmul-only PSD projection (in-scan safe) vs the eigh clamp."""
+        from bayesianfiltering_tpu.utils.linalg import project_to_psd_ns
+
+        A = jnp.diag(jnp.array([2.0, -1.0, 0.5]))
+        np.testing.assert_allclose(
+            project_to_psd_ns(A), utils.project_to_psd(A), atol=1e-4
+        )
+        B = np.asarray(_random_psd(jr.PRNGKey(11), 5)) - 0.5 * np.eye(5)
+        B = 0.5 * (B + B.T)
+        np.testing.assert_allclose(
+            project_to_psd_ns(jnp.asarray(B)),
+            utils.project_to_psd(jnp.asarray(B)),
+            atol=2e-3,
+        )
+
     def test_3d_resample_and_retain(self):
         w = jnp.zeros((2, 3, 4)).at[1, 2, 3].set(0.9).at[0, 0, 0].set(0.1)
         out = utils.resample(w, 5, jr.PRNGKey(7))
