@@ -144,7 +144,16 @@ def reduce_gaussian_sum(
 
     Methods:
         * "multinomial" — weight-proportional resampling, uniform output
-          weights (ref: gaussfiltax/inference.py:564-571).
+          weights (ref: gaussfiltax/inference.py:564-571). NOTE the
+          reference actually reseeds ``jr.choice`` with a fixed
+          ``PRNGKey(0)`` every step (ref :766), which de facto turns its
+          reduction into a fixed-quantile comb — a low-variance selection
+          closer to "systematic" below than to true iid multinomial.
+        * "systematic" / "stratified" — low-variance weight-proportional
+          reduction (one shared / per-stratum uniform over a comb of
+          quantiles); the principled version of the reference's fixed-comb
+          behavior, and the default recommendation at small M where iid
+          multinomial occasionally kills the only on-track component.
         * "topk" — deterministic highest-weight reduction, uniform output
           weights (the commented alternative at ref: gaussfiltax/inference.py:573-579).
         * "optimal" — Fearnhead–Clifford: keep heavy components, resample the
@@ -153,8 +162,8 @@ def reduce_gaussian_sum(
     """
     from bayesianfiltering_tpu.utils import resampling as rs
 
-    if method == "multinomial":
-        idx = rs.multinomial_resample(key, mixture.weights, num_keep)
+    if method in ("multinomial", "systematic", "stratified"):
+        idx = getattr(rs, f"{method}_resample")(key, mixture.weights, num_keep)
         weights = jnp.full((num_keep,), 1.0 / num_keep, mixture.weights.dtype)
     elif method == "topk":
         _, idx = jax.lax.top_k(mixture.weights, num_keep)

@@ -586,6 +586,12 @@ def augmented_gaussian_sum_filter(
     per-step Deltas/Lambdas/gradients/gain/pre-resampling weights
     (ref: gaussfiltax/inference.py:592-601; the reference's "timing" entry is
     dropped — it recorded trace-time constants, see SURVEY.md §5.1).
+
+    ``reduction`` ∈ {"multinomial", "systematic", "stratified", "topk",
+    "optimal"}. "multinomial" is the reference's nominal behavior, but iid
+    resampling at small M occasionally discards the only on-track component
+    (catastrophic RMSE outliers on the BOT benchmark, BENCHLOG.md round 2);
+    prefer "topk" or "systematic" at M ≲ 8.
     """
     if rng_key is None:
         rng_key = jr.PRNGKey(0)

@@ -1,12 +1,27 @@
-"""Bearing-only tracking benchmark with maneuvers.
+"""BOT T=500 tracking benchmark (range+bearing, maneuvering target).
 
 Rebuild of the reference's canonical experiment
-(ref: docs/experiments/BOT_Experiment_script.py and
-docs/notebooks/BOTExperiment.ipynb, BASELINE.md "BOT tracking" rows):
-GSF / UGSF / AGSF / UAGSF / BPF on the maneuvering bearing-only model,
-``n_sim`` Monte-Carlo repetitions, bootstrap CIs, LaTeX table.
+(ref: docs/notebooks/BOTExperiment.ipynb cells 2/6/7, BASELINE.md "BOT
+tracking" rows). The notebook's exact configuration is the default:
 
-Usage:  python experiments/bot_experiment.py [--seq-length 100] [--n-sim 10]
+* model ``zoo.range_bearing_tracking()`` — 1.05·F_CV maneuvering dynamics,
+  emission (bearing, range), Q=1e-5, R=2.5e-5, T=500, maneuver schedule
+  2/5–1/5–2/5 with u ∈ {1, 0, 2};
+* GSF/UGSF with M=100, ParamsUKF(1,0,0);
+* AGSF-ref: [2,2,2], opt_args=(0.8,0.8), multinomial reduction — the
+  notebook's cell-6 settings (reported 3.09±0.63 over Nsim=10);
+* AGSF-tpu: [8,2,2], opt_args=(0.9,0.9), topk reduction — this package's
+  recommended configuration (config sweep, BENCHLOG.md round-2): iid
+  multinomial reduction at M=2 occasionally kills the only on-track
+  component (catastrophic RMSE outliers); deterministic top-k with a wider
+  bank tracks at mean RMSE ≈ 1.6 on the same data — better than the
+  reference's headline;
+* BPF with 10k particles (notebook cell 6).
+
+Reference per-sim AGSF values (committed notebook output): 3.78, 7.50,
+2.56, 4.90, 1.37, 4.30, 0.48, 4.10, 0.40, 2.26 → 3.09±0.63 (bootstrap).
+
+Usage:  python experiments/bot_experiment.py [--seq-length 500] [--n-sim 100]
 """
 import argparse
 import sys
@@ -15,7 +30,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax.numpy as jnp
-import jax.random as jr
 
 import bayesianfiltering_tpu.inference as gf
 from bayesianfiltering_tpu.models import zoo
@@ -25,21 +39,18 @@ from experiments.common import latex_table, print_summary, run_comparison
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seq-length", type=int, default=100)
-    ap.add_argument("--n-sim", type=int, default=10)
-    ap.add_argument("--num-components", type=int, default=50,
-                    help="M for GSF/UGSF and AGSF outer components")
-    ap.add_argument("--bpf-particles", type=int, default=50_000)
+    ap.add_argument("--seq-length", type=int, default=500)
+    ap.add_argument("--n-sim", type=int, default=100,
+                    help="reference script uses 100 "
+                         "(BOT_Experiment_script.py:70); its notebook 10")
+    ap.add_argument("--num-components", type=int, default=100,
+                    help="M for GSF/UGSF (notebook cell 6)")
+    ap.add_argument("--bpf-particles", type=int, default=10_000)
     ap.add_argument("--latex", action="store_true")
-    ap.add_argument("--reduction", choices=["multinomial", "topk", "optimal"],
-                    default="topk",
-                    help="AGSF mixture reduction; topk avoids the occasional "
-                         "catastrophic track loss of multinomial resampling "
-                         "at long horizons")
     ap.add_argument("--variant", choices=["bearing", "range-bearing"],
                     default="range-bearing",
                     help="'range-bearing' is the reference's T=500 notebook "
-                         "config (observable range, RMSE ~3); 'bearing' the "
+                         "config (observable range); 'bearing' the "
                          "test-suite bearing-only config (unobservable "
                          "range, diverges at long horizons)")
     args = ap.parse_args()
@@ -51,7 +62,7 @@ def main():
         model, params, bpf_params = zoo.bearings_only_tracking()
         inputs = zoo.bot_maneuver_inputs(args.seq_length)
     M = args.num_components
-    uparams = ParamsUKF()
+    uparams = ParamsUKF(1.0, 0.0, 0.0)
 
     def sample_fn(key):
         return model.sample(params, key, args.seq_length, inputs=inputs)
@@ -66,15 +77,23 @@ def main():
         "UGSF": lambda e, k: point(
             gf.unscented_gaussian_sum_filter(params, uparams, e, M, 1, inputs)
         ),
-        "AGSF": lambda e, k: point(
+        # The notebook's exact AGSF settings.
+        "AGSF-ref": lambda e, k: point(
             gf.augmented_gaussian_sum_filter(
-                params, e, [M, 2, 2], k, 1, (0.1, 0.1), inputs,
-                reduction=args.reduction,
+                params, e, [2, 2, 2], k, 1, (0.8, 0.8), inputs,
+                reduction="multinomial",
+            )[0]
+        ),
+        # This package's recommended configuration (sweep, BENCHLOG.md).
+        "AGSF-tpu": lambda e, k: point(
+            gf.augmented_gaussian_sum_filter(
+                params, e, [8, 2, 2], k, 1, (0.9, 0.9), inputs,
+                reduction="topk",
             )[0]
         ),
         "UAGSF": lambda e, k: point(
             gf.unscented_agsf(
-                params, uparams, e, [M, 2, 2], k, 1, (0.1, 0.1), inputs
+                params, uparams, e, [2, 2, 2], k, 1, (0.8, 0.8), inputs
             )[0]
         ),
         "BPF": lambda e, k: gf.bootstrap_particle_filter(
@@ -83,10 +102,11 @@ def main():
     }
 
     summary = run_comparison(sample_fn, filters, n_sim=args.n_sim)
-    print_summary(summary, f"BOT tracking, T={args.seq_length}, M={M}, "
-                           f"BPF={args.bpf_particles}, n_sim={args.n_sim}")
+    print_summary(summary, f"BOT tracking, T={args.seq_length}, "
+                           f"GSF M={M}, BPF={args.bpf_particles}, "
+                           f"n_sim={args.n_sim}")
     if args.latex:
-        print(latex_table(summary, caption="Bearing-only tracking"))
+        print(latex_table(summary, caption="BOT range-bearing tracking"))
 
 
 if __name__ == "__main__":

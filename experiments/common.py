@@ -74,10 +74,11 @@ def run_comparison(
         stats = {}
         if ok.any():
             mean, lo, hi = bootstrap_ci(arr[ok])
-            stats.update(rmse_mean=mean, rmse_lo=lo, rmse_hi=hi)
+            stats.update(rmse_mean=mean, rmse_lo=lo, rmse_hi=hi,
+                         rmse_median=float(np.median(arr[ok])))
         else:
             stats.update(rmse_mean=float("nan"), rmse_lo=float("nan"),
-                         rmse_hi=float("nan"))
+                         rmse_hi=float("nan"), rmse_median=float("nan"))
         stats.update(
             time_mean=float(np.mean(r["time"])),
             time_std=float(np.std(r["time"])),
@@ -115,7 +116,8 @@ def print_summary(summary: Dict[str, Dict], title: str):
     for name, s in summary.items():
         print(
             f"{name:>8}: RMSE {s['rmse_mean']:8.3f} "
-            f"[{s['rmse_lo']:.3f}, {s['rmse_hi']:.3f}]  "
+            f"[{s['rmse_lo']:.3f}, {s['rmse_hi']:.3f}] "
+            f"median {s.get('rmse_median', float('nan')):8.3f}  "
             f"time {s['time_mean']*1e3:8.1f} ms  divergent {s['n_divergent']}"
         )
 

@@ -81,6 +81,16 @@ class TestGaussianSumFilters:
 
 
 class TestAGSF:
+    @pytest.mark.parametrize("reduction", ["multinomial", "systematic",
+                                           "stratified", "topk", "optimal"])
+    def test_agsf_reduction_methods(self, bot, reduction):
+        _, params, _, inputs, _, emissions = bot
+        post, _ = gf.augmented_gaussian_sum_filter(
+            params, emissions[:12], [4, 2, 2], jr.PRNGKey(1), 1, (0.1, 0.1),
+            inputs[:12], reduction=reduction,
+        )
+        _check_mixture_posterior(post, 4, 12, 4, psd=False)
+
     @pytest.mark.parametrize("fn_name", [
         "augmented_gaussian_sum_filter",
         "speedy_augmented_gaussian_sum_filter",
