@@ -54,6 +54,7 @@ from bayesianfiltering_tpu.config import with_matmul_precision
 from bayesianfiltering_tpu.containers import GaussianSum, split_gaussian_sum
 from bayesianfiltering_tpu.distributions import mvn_sample
 from bayesianfiltering_tpu.models.params import ParamsBPF, ParamsNLSSM
+from bayesianfiltering_tpu.ops import bank_update as _bank
 from bayesianfiltering_tpu.ops import ekf as _ekf
 from bayesianfiltering_tpu.ops import ukf as _ukf
 from bayesianfiltering_tpu.ops.ukf import ParamsUKF
@@ -276,11 +277,11 @@ def gaussian_sum_filter(
     if key is None:
         key = jr.PRNGKey(0)
 
-    v_update = vmap(
-        _ekf.ekf_condition_on_iterated,
-        in_axes=(0, 0, None, None, None, None, None, None, None, None, None),
-    )
-    v_predict = vmap(_ekf.ekf_predict, in_axes=(0, 0, None, None, None, None, None, None))
+    # Fused bank primitives: on TPU (dims ≤ 8) the whole linear-algebra
+    # update/predict runs as ONE Pallas kernel over the component bank
+    # (ops/bank_update.py); elsewhere they reduce to the vmapped EKF ops.
+    v_update = _bank.bank_ekf_condition_on_iterated
+    v_predict = _bank.bank_ekf_predict
 
     def step(carry, t):
         weights, pred_means, pred_covs, ll = carry
@@ -453,13 +454,10 @@ def _agsf_engine(
 
     use_ekf = moments == "ekf"
     if use_ekf:
-        v_predict = vmap(
-            _ekf.ekf_predict, in_axes=(0, 0, None, None, None, None, None, None)
-        )
-        v_update = vmap(
-            _ekf.ekf_condition_on_iterated,
-            in_axes=(0, 0, None, None, None, None, None, None, None, None, None),
-        )
+        # Fused Pallas bank primitives on TPU (ops/bank_update.py), vmapped
+        # EKF ops elsewhere — bit-compatible semantics either way.
+        v_predict = _bank.bank_ekf_predict
+        v_update = _bank.bank_ekf_condition_on_iterated
     else:
         v_predict = vmap(
             _ukf.ukf_predict_nonadditive,

@@ -88,3 +88,120 @@ class TestResamplingKernel:
         out = systematic_resample_gather(key, w, p)  # CPU -> XLA path
         idx = systematic_resample(key, w, n)
         np.testing.assert_array_equal(out, jnp.take(p, idx, axis=0))
+
+
+class TestFusedBankUpdate:
+    """ops/bank_update.py: the fused EKF update/predict kernels vs the
+    vmapped ops/ekf.py primitives (interpret mode on CPU)."""
+
+    def _bank(self, m=130, dx=4, dy=2):
+        from bayesianfiltering_tpu.ops import bank_update as bu
+
+        k = jr.split(jr.PRNGKey(11), 6)
+        ms = jr.normal(k[0], (m, dx))
+        a = jr.normal(k[1], (m, dx, dx))
+        Ps = jnp.einsum("mik,mjk->mij", a, a) + 0.5 * jnp.eye(dx)
+        return bu, ms, Ps, k
+
+    @pytest.mark.parametrize("m,dx,dy", [(128, 4, 2), (130, 4, 2), (200, 2, 1)])
+    def test_chol_update_matches_xla(self, m, dx, dy):
+        from bayesianfiltering_tpu.ops import bank_update as bu
+
+        k = jr.split(jr.PRNGKey(12), 6)
+        ms = jr.normal(k[0], (m, dx))
+        a = jr.normal(k[1], (m, dx, dx))
+        Ps = jnp.einsum("mik,mjk->mij", a, a) + 0.5 * jnp.eye(dx)
+        Hx = jr.normal(k[2], (m, dy, dx))
+        b = jr.normal(k[3], (m, dy, dy))
+        Rt = jnp.einsum("mik,mjk->mij", b, b) * 0.1 + 0.05 * jnp.eye(dy)
+        innov = jr.normal(k[4], (m, dy))
+        ref = bu._update_xla(ms, Ps, Hx, Rt, innov, 0.0)
+        with pltpu.force_tpu_interpret_mode():
+            out = bu.bank_chol_update(ms, Ps, Hx, Rt, innov, 0.0,
+                                      use_pallas=True)
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(o, r, rtol=5e-4, atol=5e-4)
+
+    def test_predict_cov_matches_einsum(self):
+        from bayesianfiltering_tpu.ops import bank_update as bu
+
+        m, dx, dq = 150, 4, 3
+        k = jr.split(jr.PRNGKey(13), 3)
+        Fx = jr.normal(k[0], (m, dx, dx))
+        a = jr.normal(k[1], (m, dx, dx))
+        P = jnp.einsum("mik,mjk->mij", a, a) + jnp.eye(dx)
+        Fq = jr.normal(k[2], (m, dx, dq))
+        Q = jnp.diag(jnp.arange(1.0, dq + 1))
+        ref = bu._predict_cov_xla(Fx, P, Fq, Q)
+        with pltpu.force_tpu_interpret_mode():
+            out = bu.bank_predict_cov(Fx, P, Fq, Q, use_pallas=True)
+        np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-4)
+
+    @pytest.mark.parametrize("num_iter", [1, 3])
+    def test_iterated_update_matches_vmapped_iekf(self, num_iter):
+        from bayesianfiltering_tpu.ops import bank_update as bu
+        from bayesianfiltering_tpu.ops import ekf as _ekf
+
+        m, dx, dy = 130, 4, 2
+        k = jr.split(jr.PRNGKey(14), 4)
+        ms = jr.normal(k[0], (m, dx))
+        a = jr.normal(k[1], (m, dx, dx))
+        Ps = jnp.einsum("mik,mjk->mij", a, a) + 0.5 * jnp.eye(dx)
+        R = jnp.eye(dy) * 2.5e-5
+        r0 = jnp.zeros(dy)
+        y = jr.normal(k[2], (dy,))
+        h = lambda x, r, u: jnp.array(
+            [jnp.sqrt(x[0] ** 2 + x[2] ** 2), jnp.arctan2(x[2], x[0])]) + r
+        H_x, H_r = jax.jacfwd(h, 0), jax.jacfwd(h, 1)
+        vu = jax.vmap(_ekf.ekf_condition_on_iterated,
+                      in_axes=(0, 0, None, None, None, None, None, None,
+                               None, None, None))
+        ref = vu(ms, Ps, h, H_x, H_r, R, r0, 0.0, y, num_iter, 0.0)
+        with pltpu.force_tpu_interpret_mode():
+            out = bu.bank_ekf_condition_on_iterated(
+                ms, Ps, h, H_x, H_r, R, r0, 0.0, y, num_iter, 0.0,
+                use_pallas=True)
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(o, r, rtol=1e-3, atol=1e-3)
+
+    def test_scalar_emission_bank(self):
+        from bayesianfiltering_tpu.ops import bank_update as bu
+        from bayesianfiltering_tpu.ops import ekf as _ekf
+
+        m, dx = 64, 3
+        k = jr.split(jr.PRNGKey(15), 3)
+        ms = jr.normal(k[0], (m, dx))
+        a = jr.normal(k[1], (m, dx, dx))
+        Ps = jnp.einsum("mik,mjk->mij", a, a) + 0.5 * jnp.eye(dx)
+        h = lambda x, r, u: jnp.atleast_1d(0.1 * jnp.dot(x, x)) + r
+        R = jnp.eye(1) * 0.5
+        r0, y = jnp.zeros(1), jnp.ones(1)
+        vu = jax.vmap(_ekf.ekf_condition_on_iterated,
+                      in_axes=(0, 0, None, None, None, None, None, None,
+                               None, None, None))
+        ref = vu(ms, Ps, h, jax.jacfwd(h, 0), jax.jacfwd(h, 1), R, r0, 0.0,
+                 y, 1, 0.0)
+        out = bu.bank_ekf_condition_on_iterated(
+            ms, Ps, h, jax.jacfwd(h, 0), jax.jacfwd(h, 1), R, r0, 0.0, y,
+            1, 0.0)
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(o, r, rtol=5e-4, atol=5e-4)
+
+    def test_grad_through_fused_update(self):
+        from bayesianfiltering_tpu.ops import bank_update as bu
+
+        m, dx, dy = 64, 3, 2
+        k = jr.split(jr.PRNGKey(16), 5)
+        ms = jr.normal(k[0], (m, dx))
+        a = jr.normal(k[1], (m, dx, dx))
+        Ps = jnp.einsum("mik,mjk->mij", a, a) + 0.5 * jnp.eye(dx)
+        Hx = jr.normal(k[2], (m, dy, dx))
+        Rt = jnp.broadcast_to(0.1 * jnp.eye(dy), (m, dy, dy))
+        innov = jr.normal(k[3], (m, dy))
+
+        def loss(P):
+            ll, mean, cov, K = bu.bank_chol_update(ms, P, Hx, Rt, innov, 0.0)
+            return jnp.sum(ll) + jnp.sum(mean) + jnp.sum(cov)
+
+        g = jax.grad(loss)(Ps)
+        assert bool(jnp.all(jnp.isfinite(g)))
