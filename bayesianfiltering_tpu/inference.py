@@ -56,6 +56,7 @@ from bayesianfiltering_tpu.distributions import mvn_sample
 from bayesianfiltering_tpu.models.params import ParamsBPF, ParamsNLSSM
 from bayesianfiltering_tpu.ops import bank_update as _bank
 from bayesianfiltering_tpu.ops import ekf as _ekf
+from bayesianfiltering_tpu.ops import fused_ekf as _fused
 from bayesianfiltering_tpu.ops import ukf as _ukf
 from bayesianfiltering_tpu.ops.ukf import ParamsUKF
 from bayesianfiltering_tpu.types import PRNGKey
@@ -159,6 +160,13 @@ def extended_kalman_filter(
     num_timesteps = len(emissions)
     f, h, F_x, H_x, F_q, H_r = _jacobians(params)
     inputs = _process_input(inputs, num_timesteps)
+    # The fused single-stream Pallas kernels (ops/fused_ekf.py) only pay off
+    # UNBATCHED: under vmap a pallas_call becomes a sequential grid axis
+    # (95k vs 695k timestep-equiv/s on the vmap-256 bench) while the XLA
+    # blocked factorizations vectorize over batch lanes. vmap batches the
+    # scan primitive AFTER its body is traced, so the batching check must
+    # happen HERE at the filter boundary, not inside the step.
+    use_fused = False if _fused._is_vmapped(emissions) else None
 
     def step(carry, t):
         m_pred, P_pred, ll = carry
@@ -169,10 +177,13 @@ def extended_kalman_filter(
                 m_pred, P_pred, h, H_x, H_r, R, r0, u, y
             )
         else:
-            upd = _ekf.ekf_condition_on_iterated(
-                m_pred, P_pred, h, H_x, H_r, R, r0, u, y, num_iter, jitter
+            upd = _fused.fused_ekf_condition_on_iterated(
+                m_pred, P_pred, h, H_x, H_r, R, r0, u, y, num_iter, jitter,
+                use_pallas=use_fused,
             )
-        m_next, P_next, _ = _ekf.ekf_predict(upd.mean, upd.cov, f, F_x, F_q, Q, q0, u)
+        m_next, P_next, _ = _fused.fused_ekf_predict(
+            upd.mean, upd.cov, f, F_x, F_q, Q, q0, u, use_pallas=use_fused
+        )
         carry = (m_next, P_next, ll + upd.log_likelihood)
         return carry, (upd.mean, upd.cov, m_next, P_next)
 

@@ -151,22 +151,22 @@ def ekf_condition_on_iterated(
     """
     y = jnp.atleast_1d(y)
 
-    def body(_, carry):
-        lin_point, _ = carry
+    # Statically unrolled: num_iter is a Python int in every caller, and a
+    # lax.fori_loop here compiles to a while-loop INSIDE the filters' scan —
+    # measured catastrophic on the single-stream path (BENCHLOG round 2).
+    lin_point = m
+    out = None
+    for it in range(int(num_iter)):
         Hx = H_x(lin_point, r0, u)
         Hr = H_r(lin_point, r0, u)
         # IEKF innovation correction: yhat accounts for the shift between
-        # linearization point and prior mean.
-        yhat = jnp.atleast_1d(h(lin_point, r0, u)) + Hx @ (m - lin_point)
+        # linearization point and prior mean (zero at the first iteration).
+        yhat = jnp.atleast_1d(h(lin_point, r0, u))
+        if it > 0:
+            yhat = yhat + Hx @ (m - lin_point)
         ll, mean, cov, K = _chol_update(P, Hx, Hr, R, m, y, yhat, jitter)
-        return mean, EKFUpdate(ll, mean, cov, Hx, K)
-
-    dy = y.shape[-1]
-    dx = m.shape[-1]
-    dummy = EKFUpdate(
-        jnp.zeros(()), m, P, jnp.zeros((dy, dx), P.dtype), jnp.zeros((dx, dy), P.dtype)
-    )
-    _, out = jax.lax.fori_loop(0, num_iter, body, (m, dummy))
+        lin_point = mean
+        out = EKFUpdate(ll, mean, cov, Hx, K)
     return out
 
 

@@ -205,3 +205,78 @@ class TestFusedBankUpdate:
 
         g = jax.grad(loss)(Ps)
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestFusedSingleStream:
+    """ops/fused_ekf.py: single-stream fused update/predict kernels."""
+
+    def _problem(self, dx=16, dy=8):
+        k = jr.split(jr.PRNGKey(21), 5)
+        m = jr.normal(k[0], (dx,))
+        a = jr.normal(k[1], (dx, dx))
+        P = a @ a.T + 0.5 * jnp.eye(dx)
+        Hx = jr.normal(k[2], (dy, dx))
+        b = jr.normal(k[3], (dy, dy))
+        Rt = b @ b.T * 0.01 + 0.05 * jnp.eye(dy)
+        innov = jr.normal(k[4], (dy,))
+        return m, P, Hx, Rt, innov
+
+    def test_kernel_matches_xla(self):
+        from bayesianfiltering_tpu.ops import fused_ekf as fe
+
+        m, P, Hx, Rt, innov = self._problem()
+        ref = fe._update_xla(m, P, Hx, Rt, innov, 0.0)
+        with pltpu.force_tpu_interpret_mode():
+            out = fe._update_pallas(m, P, Hx, Rt, innov, 0.0)
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(o, r, rtol=2e-3, atol=2e-3)
+
+    def test_predict_kernel_matches_xla(self):
+        from bayesianfiltering_tpu.ops import fused_ekf as fe
+
+        dx, dq = 16, 8
+        k = jr.split(jr.PRNGKey(22), 3)
+        Fx = jr.normal(k[0], (dx, dx))
+        a = jr.normal(k[1], (dx, dx))
+        P = a @ a.T + jnp.eye(dx)
+        Fq = jr.normal(k[2], (dx, dq))
+        Q = jnp.diag(jnp.arange(1.0, dq + 1))
+        ref = fe._predict_xla(Fx, P, Fq, Q)
+        with pltpu.force_tpu_interpret_mode():
+            out = fe._predict_pallas(Fx, P, Fq, Q)
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+    def test_iterated_wrapper_matches_ekf(self):
+        from bayesianfiltering_tpu.ops import ekf as _ekf
+        from bayesianfiltering_tpu.ops import fused_ekf as fe
+
+        dx, dy = 6, 3
+        k = jr.split(jr.PRNGKey(23), 3)
+        m = jr.normal(k[0], (dx,))
+        a = jr.normal(k[1], (dx, dx))
+        P = a @ a.T + 0.5 * jnp.eye(dx)
+        R = 0.1 * jnp.eye(dy)
+        r0 = jnp.zeros(dy)
+        y = jr.normal(k[2], (dy,))
+        h = lambda x, r, u: jnp.tanh(x[:3]) * x[3:] + r
+        H_x, H_r = jax.jacfwd(h, 0), jax.jacfwd(h, 1)
+        for ni in (1, 3):
+            ref = _ekf.ekf_condition_on_iterated(m, P, h, H_x, H_r, R, r0,
+                                                 0.0, y, ni, 0.0)
+            out = fe.fused_ekf_condition_on_iterated(m, P, h, H_x, H_r, R,
+                                                     r0, 0.0, y, ni, 0.0)
+            for r, o in zip(ref, out):
+                np.testing.assert_allclose(o, r, rtol=1e-4, atol=1e-4)
+
+    def test_grad_through_fused_single(self):
+        from bayesianfiltering_tpu.ops import fused_ekf as fe
+
+        m, P, Hx, Rt, innov = self._problem(8, 4)
+
+        def loss(P):
+            ll, mean, cov, K = fe._fused_update(m, P, Hx, Rt, innov, 0.0,
+                                                False)
+            return jnp.sum(ll) + jnp.sum(mean) + jnp.sum(cov)
+
+        g = jax.grad(loss)(P)
+        assert bool(jnp.all(jnp.isfinite(g)))

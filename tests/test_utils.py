@@ -249,3 +249,32 @@ class TestDistributions:
         np.testing.assert_allclose(xs.mean(axis=0), m, atol=0.05)
         emp = jnp.cov(xs.T)
         np.testing.assert_allclose(emp, S, atol=0.1)
+
+
+class TestCholAndInv:
+    """utils/linalg.py::chol_and_inv_lower — combined factorization."""
+
+    @pytest.mark.parametrize("n,base", [(8, 8), (16, 8), (32, 8), (32, 16),
+                                        (24, 8), (5, 4)])
+    def test_matches_separate(self, n, base):
+        from bayesianfiltering_tpu.utils.linalg import (
+            chol_and_inv_lower, cholesky_blocked, tri_inv_lower)
+
+        a = jr.normal(jr.PRNGKey(31), (n, n))
+        S = a @ a.T + 0.5 * jnp.eye(n)
+        L, Li = chol_and_inv_lower(S, base=base)
+        np.testing.assert_allclose(L, jnp.linalg.cholesky(S), rtol=2e-4,
+                                   atol=2e-4)
+        np.testing.assert_allclose(Li @ L, jnp.eye(n), rtol=1e-3, atol=1e-3)
+
+    def test_batched(self):
+        from bayesianfiltering_tpu.utils.linalg import chol_and_inv_lower
+
+        a = jr.normal(jr.PRNGKey(32), (7, 12, 12))
+        S = jnp.einsum("mik,mjk->mij", a, a) + jnp.eye(12)
+        L, Li = chol_and_inv_lower(S, base=8)
+        np.testing.assert_allclose(L, jnp.linalg.cholesky(S), rtol=2e-4,
+                                   atol=2e-4)
+        eye = jnp.broadcast_to(jnp.eye(12), (7, 12, 12))
+        np.testing.assert_allclose(jnp.einsum("mij,mjk->mik", Li, L), eye,
+                                   rtol=1e-3, atol=1e-3)
