@@ -682,7 +682,6 @@ def bootstrap_particle_filter(
     ess_threshold: float = 0.5,
     resampler: str = "systematic",
     store: str = "all",
-    fused_resampling: bool = None,
 ) -> Dict[str, jax.Array]:
     """Bootstrap PF with ESS-adaptive resampling
     (ref: gaussfiltax/inference.py:1302-1381).
@@ -704,12 +703,10 @@ def bootstrap_particle_filter(
     f = params.dynamics_function
     inputs = _process_input(inputs, num_timesteps)
     resample_fn = get_resampler(resampler)
-    # Experimental: the windowed MXU resampling kernel currently ties the
-    # XLA path in-scan (its per-tile DMAs are not yet double-buffered,
-    # BENCHLOG.md) — opt-in until it wins.
-    if fused_resampling is None:
-        fused_resampling = False
-    fused_resampling = fused_resampling and resampler == "systematic"
+    # Resampling stays on XLA's scatter+gather: a windowed one-hot MXU
+    # gather kernel, a double-buffered variant, and sorted/unique gather
+    # annotations all TIED it at 1M particles (~15 ms/step) — the cost is
+    # row-granular DMA, which no lane layout fixes (BENCHLOG.md rounds 1-2).
 
     log_prob_fn = params.emission_distribution_log_prob
     v_log_prob = vmap(log_prob_fn, in_axes=(0, None, None))
@@ -738,17 +735,8 @@ def bootstrap_particle_filter(
         def do_resample(args):
             lw, p = args
             w = jnp.exp(lw)
-            if fused_resampling:
-                # windowed MXU gather kernel (ops/resampling_kernels.py);
-                # auto-falls back to the index path off-TPU / on tiny banks
-                from bayesianfiltering_tpu.ops.resampling_kernels import (
-                    systematic_resample_gather,
-                )
-
-                resampled = systematic_resample_gather(key_res, w, p)
-            else:
-                idx = resample_fn(key_res, w, num_particles)
-                resampled = jnp.take(p, idx, axis=0)
+            idx = resample_fn(key_res, w, num_particles)
+            resampled = jnp.take(p, idx, axis=0)
             return (
                 jnp.full((num_particles,), -jnp.log(num_particles), lw.dtype),
                 resampled,

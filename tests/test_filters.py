@@ -48,7 +48,10 @@ class TestGaussianSumFilters:
         post = gf.gaussian_sum_filter(params, emissions, 5, 1, inputs)
         _check_mixture_posterior(post, 5, SEQ_LEN, 4)
         assert post.predicted_means.shape == (5, SEQ_LEN, 4)
-        assert float(rmse(_point_estimate(post), states)) < 50.0
+        # Calibrated gate: measured 4.08 on this seed; the no-information
+        # estimate (hold the prior mean) scores 18.0 — a 2x accuracy
+        # regression fails this, unlike the old `< 50` smoke bound.
+        assert float(rmse(_point_estimate(post), states)) < 9.0
 
     def test_unscented_gaussian_sum_filter(self):
         # UKF moments on the near-deterministic-bearing BOT model sit in a
@@ -105,7 +108,9 @@ class TestAGSF:
         assert aux["Deltas"].shape == (SEQ_LEN, 5, 4, 4)
         assert aux["Lambdas"].shape == (SEQ_LEN, 15, 4, 4)
         assert aux["pre_weights"].shape == (SEQ_LEN, 30)
-        assert float(rmse(_point_estimate(post), states)) < 50.0
+        # Calibrated: 5.46 / 5.46 / 3.19 measured per variant on this seed
+        # (prior-mean baseline 18.0); catches a 2x accuracy regression.
+        assert float(rmse(_point_estimate(post), states)) < 11.0
 
     @pytest.mark.parametrize("fn_name", ["unscented_agsf",
                                          "speedy_unscented_agsf"])

@@ -70,26 +70,6 @@ class TestBankKernels:
                                    rtol=1e-5)
 
 
-class TestResamplingKernel:
-    def test_fused_gather_matches_index_path(self):
-        """CPU check of the fused systematic resample+gather contract via
-        the XLA path + forced-kernel equivalence is covered on TPU
-        (BENCHLOG); here: the public wrapper's fallback correctness."""
-        import jax.random as jr
-        from bayesianfiltering_tpu.ops.resampling_kernels import (
-            systematic_resample_gather,
-        )
-        from bayesianfiltering_tpu.utils.resampling import systematic_resample
-
-        n, dx = 4096, 4
-        p = jr.normal(jr.PRNGKey(0), (n, dx))
-        w = jax.nn.softmax(jr.normal(jr.PRNGKey(1), (n,)))
-        key = jr.PRNGKey(2)
-        out = systematic_resample_gather(key, w, p)  # CPU -> XLA path
-        idx = systematic_resample(key, w, n)
-        np.testing.assert_array_equal(out, jnp.take(p, idx, axis=0))
-
-
 class TestFusedBankUpdate:
     """ops/bank_update.py: the fused EKF update/predict kernels vs the
     vmapped ops/ekf.py primitives (interpret mode on CPU)."""
