@@ -340,6 +340,11 @@ def unscented_gaussian_sum_filter(
     if key is None:
         key = jr.PRNGKey(0)
 
+    # NOTE round 2: a fused bank-major Pallas UT update/moments kernel was
+    # built, validated, and REMOVED — end-to-end it LOST ~30% (BOT UGSF
+    # 99.9 -> 130.7 ms): the per-step bank-major layout conversion of the
+    # (M, 2n, d) sigma-point tensors costs more than fusing the ~25 moment/
+    # gain ops saves (BENCHLOG.md). The vmapped form below is the fast path.
     v_update = vmap(
         _ukf.ukf_condition_on_nonadditive_iterated,
         in_axes=(0, 0, None, None, None, None, None, None, None),

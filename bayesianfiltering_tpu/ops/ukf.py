@@ -218,7 +218,7 @@ def ukf_condition_on_nonadditive_iterated(
     dx = m.shape[-1]
     eye = jnp.eye(dx, dtype=P.dtype)
 
-    def body(_, carry):
+    def body(carry):
         m_i, P_i, _ = carry
         mu_y, S_i, C = _ut_emission_moments(m_i, P_i, h, R, u, uparams, r0)
         # Statistical linearization around (m_i, P_i).
@@ -241,9 +241,12 @@ def ukf_condition_on_nonadditive_iterated(
         ll = -0.5 * (y.shape[-1] * _LOG_2PI + logdet + jnp.sum(jnp.square(z)))
         return m_new, P_new, ll
 
-    m_out, P_out, ll = jax.lax.fori_loop(
-        0, num_iter, body, (m, P, jnp.zeros((), P.dtype))
-    )
+    # Statically unrolled: a lax.fori_loop here compiles to a while-loop
+    # inside the filters' scan (same pathology as the EKF path, ops/ekf.py).
+    carry = (m, P, jnp.zeros((), P.dtype))
+    for _ in range(int(num_iter)):
+        carry = body(carry)
+    m_out, P_out, ll = carry
     return ll, m_out, P_out
 
 
