@@ -88,14 +88,19 @@ def _step_key(base_key: PRNGKey, t, compat_fixed: bool) -> PRNGKey:
 
 
 def _jacobians(params: ParamsNLSSM):
+    """Model functions + Jacobians: analytic when the params provide them
+    (ParamsNLSSM.*_jacobian_* — a TPU-first extension; the vmapped jacfwd
+    evaluation dominates the mixture filters' scan step), jacfwd otherwise.
+    """
     f, h = params.dynamics_function, params.emission_function
+    get = lambda name, fallback: getattr(params, name, None) or fallback
     return (
         f,
         h,
-        jacfwd(f, argnums=0),
-        jacfwd(h, argnums=0),
-        jacfwd(f, argnums=1),
-        jacfwd(h, argnums=1),
+        get("dynamics_jacobian_x", None) or jacfwd(f, argnums=0),
+        get("emission_jacobian_x", None) or jacfwd(h, argnums=0),
+        get("dynamics_jacobian_q", None) or jacfwd(f, argnums=1),
+        get("emission_jacobian_r", None) or jacfwd(h, argnums=1),
     )
 
 

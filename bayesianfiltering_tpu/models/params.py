@@ -14,7 +14,7 @@ axis (time-varying Q/R), resolved per-step by the filters.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Union
+from typing import Callable, NamedTuple, Optional, Union
 
 import jax
 
@@ -29,7 +29,17 @@ FnStateAndInputToEmission = Callable
 
 
 class ParamsNLSSM(NamedTuple):
-    """Nonlinear SSM parameters (ref: gaussfiltax/models.py:26-51)."""
+    """Nonlinear SSM parameters (ref: gaussfiltax/models.py:26-51).
+
+    The four optional ``*_jacobian_*`` fields are a TPU-first extension over
+    the reference: when provided, the filters use them instead of deriving
+    Jacobians with ``jax.jacfwd``. Measured perf-neutral on the BOT flagship
+    (XLA's forward-mode tangents are equally cheap there, BENCHLOG.md round
+    2) — supply them for models whose autodiff graph is expensive or
+    non-smooth at branch points, or to pin exact linearization semantics.
+    Each callable has the same ``(state, noise, input) -> matrix`` signature
+    as ``jacfwd(fn, argnums)`` would produce.
+    """
 
     initial_mean: jax.Array
     initial_covariance: jax.Array
@@ -39,6 +49,10 @@ class ParamsNLSSM(NamedTuple):
     emission_function: Union[FnStateToEmission, FnStateAndInputToEmission]
     emission_noise_bias: jax.Array
     emission_noise_covariance: jax.Array
+    dynamics_jacobian_x: Optional[Callable] = None
+    dynamics_jacobian_q: Optional[Callable] = None
+    emission_jacobian_x: Optional[Callable] = None
+    emission_jacobian_r: Optional[Callable] = None
 
 
 class ParamsBPF(NamedTuple):

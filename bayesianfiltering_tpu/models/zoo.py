@@ -32,7 +32,7 @@ from bayesianfiltering_tpu.ops.linear import ParamsLGSSM
 
 
 def _bundle(state_dim, state_noise_dim, emission_dim, emission_noise_dim,
-            mu0, Sigma0, f, Q, h, R, log_prob=None):
+            mu0, Sigma0, f, Q, h, R, log_prob=None, **jacobians):
     model = NonlinearSSM(state_dim, state_noise_dim, emission_dim,
                          emission_noise_dim)
     params = ParamsNLSSM(
@@ -44,11 +44,12 @@ def _bundle(state_dim, state_noise_dim, emission_dim, emission_noise_dim,
         emission_function=h,
         emission_noise_bias=jnp.zeros(emission_noise_dim),
         emission_noise_covariance=R,
+        **jacobians,
     )
     if log_prob is None:
         r0 = jnp.zeros(emission_noise_dim)
         log_prob = lambda x, y, u: mvn_logpdf(y, h(x, r0, u), R)
-    bpf_params = ParamsBPF(*params, emission_distribution_log_prob=log_prob)
+    bpf_params = ParamsBPF(*params[:8], emission_distribution_log_prob=log_prob)
     return model, params, bpf_params
 
 
@@ -198,10 +199,24 @@ def range_bearing_tracking(dt: float = 0.5, acc: float = 0.5,
             [jnp.arctan2(x[2], x[0]), jnp.sqrt(x[0] ** 2 + x[2] ** 2)]
         ) + rn
 
+    def h_jac_x(x, rn, u):
+        # closed-form d[atan2(y, x), sqrt(x^2+y^2)]/d(state): exercises the
+        # ParamsNLSSM analytic-jacobian extension (perf-neutral here)
+        rho2 = x[0] ** 2 + x[2] ** 2
+        rho = jnp.sqrt(rho2)
+        return jnp.array(
+            [[-x[2] / rho2, 0.0, x[0] / rho2, 0.0],
+             [x[0] / rho, 0.0, x[2] / rho, 0.0]]
+        )
+
+    def h_jac_r(x, rn, u):
+        return jnp.eye(2, dtype=x.dtype)
+
     mu0 = jnp.array([-0.05, 0.001, 0.7, -0.05])
     Sigma0 = jnp.diag(jnp.array([0.1, 0.005, 0.1, 0.01]))
     return _bundle(4, 2, 2, 2, mu0, Sigma0, f, q * jnp.eye(2), h,
-                   r * jnp.eye(2))
+                   r * jnp.eye(2), emission_jacobian_x=h_jac_x,
+                   emission_jacobian_r=h_jac_r)
 
 
 def bot_experiment_inputs(seq_length: int) -> jnp.ndarray:

@@ -10,7 +10,7 @@ tracking" rows). The notebook's exact configuration is the default:
 * GSF/UGSF with M=100, ParamsUKF(1,0,0);
 * AGSF-ref: [2,2,2], opt_args=(0.8,0.8), multinomial reduction — the
   notebook's cell-6 settings (reported 3.09±0.63 over Nsim=10);
-* AGSF-tpu: [8,2,2], opt_args=(0.9,0.9), topk reduction — this package's
+* AGSF-tpu: [16,2,2], opt_args=(0.9,0.9), systematic reduction — this package's
   recommended configuration (config sweep, BENCHLOG.md round-2): iid
   multinomial reduction at M=2 occasionally kills the only on-track
   component (catastrophic RMSE outliers); deterministic top-k with a wider
@@ -87,8 +87,8 @@ def main():
         # This package's recommended configuration (sweep, BENCHLOG.md).
         "AGSF-tpu": lambda e, k: point(
             gf.augmented_gaussian_sum_filter(
-                params, e, [8, 2, 2], k, 1, (0.9, 0.9), inputs,
-                reduction="topk",
+                params, e, [16, 2, 2], k, 1, (0.9, 0.9), inputs,
+                reduction="systematic",
             )[0]
         ),
         "UAGSF": lambda e, k: point(
