@@ -138,6 +138,18 @@ class PosteriorGaussianFiltered(NamedTuple):
     predicted_covariances: jax.Array
 
 
+class PosteriorGaussianSmoothed(NamedTuple):
+    """EKF filtering posterior + RTS-smoothed marginals."""
+
+    marginal_loglik: jax.Array
+    filtered_means: jax.Array
+    filtered_covariances: jax.Array
+    predicted_means: jax.Array
+    predicted_covariances: jax.Array
+    smoothed_means: jax.Array
+    smoothed_covariances: jax.Array
+
+
 # ---------------------------------------------------------------------------
 # EKF / UKF (single-Gaussian fast paths)
 # ---------------------------------------------------------------------------
@@ -195,6 +207,53 @@ def extended_kalman_filter(
     init = (params.initial_mean, params.initial_covariance, jnp.zeros(()))
     (_, _, ll), (fm, fP, pm, pP) = lax.scan(step, init, jnp.arange(num_timesteps))
     return PosteriorGaussianFiltered(ll, fm, fP, pm, pP)
+
+
+@with_matmul_precision
+def extended_rts_smoother(
+    params: ParamsNLSSM,
+    emissions: jax.Array,
+    num_iter: int = 1,
+    inputs: Optional[jax.Array] = None,
+    jitter: float = 0.0,
+) -> PosteriorGaussianSmoothed:
+    """Extended Rauch–Tung–Striebel smoother (ERTS).
+
+    Forward pass = :func:`extended_kalman_filter`; backward pass is the RTS
+    recursion with the dynamics relinearized at each filtered mean:
+    ``G_t = P_f F_x(m_f)ᵀ P_p⁻¹``, ``m_s = m_f + G (m_s' − m_p)``,
+    ``P_s = P_f + G (P_s' − P_p) Gᵀ``. The non-additive noise convention is
+    inherited from the filter (the predicted covariance already carries
+    ``F_q Q F_qᵀ``). NEW surface vs the reference, which ships no smoother
+    for its nonlinear models (its only backward pass is the dead dynamax
+    import, ref: gaussfiltax/distributions.py); the linear specialization is
+    exact (matches ops/linear.py::kalman_smoother, tested).
+    """
+    post = extended_kalman_filter(params, emissions, num_iter, inputs, jitter)
+    num_timesteps = len(emissions)
+    _, _, F_x, _, _, _ = _jacobians(params)
+    inputs_arr = _process_input(inputs, num_timesteps)
+    fm, fP = post.filtered_means, post.filtered_covariances
+    pm, pP = post.predicted_means, post.predicted_covariances
+
+    def step(carry, xs):
+        sm_next, sP_next = carry
+        m_f, P_f, m_p, P_p, t = xs
+        _, q0, _, _ = _slice_noise(params, t)
+        Fx = F_x(m_f, q0, inputs_arr[t])
+        G = utils.psd_solve(P_p, Fx @ P_f).T
+        sm = m_f + G @ (sm_next - m_p)
+        sP = utils.symmetrize(P_f + G @ (sP_next - P_p) @ G.T)
+        return (sm, sP), (sm, sP)
+
+    last = (fm[-1], fP[-1])
+    xs = (fm[:-1], fP[:-1], pm[:-1], pP[:-1], jnp.arange(num_timesteps - 1))
+    _, (sm, sP) = lax.scan(step, last, xs, reverse=True)
+    sm = jnp.concatenate([sm, fm[-1:]], axis=0)
+    sP = jnp.concatenate([sP, fP[-1:]], axis=0)
+    return PosteriorGaussianSmoothed(
+        post.marginal_loglik, fm, fP, pm, pP, sm, sP
+    )
 
 
 @with_matmul_precision
@@ -793,7 +852,9 @@ __all__ = [
     "ParamsUKF",
     "PosteriorGaussianSumFiltered",
     "PosteriorGaussianFiltered",
+    "PosteriorGaussianSmoothed",
     "extended_kalman_filter",
+    "extended_rts_smoother",
     "unscented_kalman_filter",
     "gaussian_sum_filter",
     "unscented_gaussian_sum_filter",

@@ -1,0 +1,140 @@
+"""Mixture-parallel (component-sharded) Gaussian-sum filter.
+
+Completes the parallelism matrix next to data-parallel
+(:mod:`~bayesianfiltering_tpu.parallel.batch`) and particle-parallel
+(:mod:`~bayesianfiltering_tpu.parallel.particle`): the component bank of a
+Gaussian-sum filter (ref: gaussfiltax/inference.py:303-377, single-device)
+is sharded over a mesh axis with ``shard_map``. The per-component EKF
+updates and predicts are embarrassingly parallel; the ONLY cross-device
+traffic per step is the weight normalization —
+
+    shift = pmax(max local ll·w)          (one scalar)
+    total = psum(Σ local unnormalized w)  (one scalar)
+
+a few bytes over ICI per step, so scaling is limited only by the per-device
+bank size. Useful when M is large enough that one chip's HBM or FLOPs bound
+the bank (e.g. M ≥ 10⁵ components at high state dimension).
+
+The math is identical to :func:`bayesianfiltering_tpu.inference.
+gaussian_sum_filter`: same bank primitives (ops/bank_update.py), same
+max-stabilized reweighting, same mixture init (drawn globally, then
+sharded).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.6 promotes shard_map to the top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from bayesianfiltering_tpu.config import with_matmul_precision
+from bayesianfiltering_tpu.models.params import ParamsNLSSM
+from bayesianfiltering_tpu.ops import bank_update as _bank
+from bayesianfiltering_tpu.types import PRNGKey
+
+
+def sharded_gaussian_sum_filter(
+    params: ParamsNLSSM,
+    emissions: jax.Array,
+    num_components: int,
+    mesh: Mesh,
+    key: PRNGKey = None,
+    num_iter: int = 1,
+    inputs: Optional[jax.Array] = None,
+    axis_name: str = "mixture",
+    jitter: float = 0.0,
+):
+    """Gaussian-sum filter with the component bank sharded over ``mesh``.
+
+    Returns the same :class:`~bayesianfiltering_tpu.inference.
+    PosteriorGaussianSumFiltered` contents as ``gaussian_sum_filter``
+    (component-major ``(M, T, ...)`` arrays plus the marginal loglik);
+    outputs are gathered to the caller like any shard_map result.
+    """
+    import bayesianfiltering_tpu.inference as gf
+
+    if key is None:
+        key = jr.PRNGKey(0)
+    num_timesteps = len(emissions)
+    n_dev = mesh.shape[axis_name]
+    M = int(num_components)
+    if M % n_dev != 0:
+        raise ValueError(
+            f"num_components={M} not divisible by mesh axis "
+            f"{axis_name}={n_dev}"
+        )
+    f, h, F_x, H_x, F_q, H_r = gf._jacobians(params)
+    inputs = gf._process_input(inputs, num_timesteps)
+    w0, m0, P0 = gf._init_mixture(params, M, key)
+
+    @with_matmul_precision
+    def local_filter(emissions, inputs, weights, means, covs):
+        def step(carry, t):
+            weights, pred_means, pred_covs, ll = carry
+            Q, q0, R, r0 = gf._slice_noise(params, t)
+            u, y = inputs[t], emissions[t]
+
+            upd = _bank.bank_ekf_condition_on_iterated(
+                pred_means, pred_covs, h, H_x, H_r, R, r0, u, y, num_iter,
+                jitter,
+            )
+            # Max-stabilized reweighting with global collectives: exactly
+            # inference._reweight, two scalars over ICI.
+            shift = lax.pmax(jnp.max(upd.log_likelihood), axis_name)
+            unnorm = weights * jnp.exp(upd.log_likelihood - shift)
+            total = lax.psum(jnp.sum(unnorm), axis_name)
+            weights = unnorm / total
+            step_ll = jnp.log(total) + shift
+
+            pred_means, pred_covs, _ = _bank.bank_ekf_predict(
+                upd.mean, upd.cov, f, F_x, F_q, Q, q0, u
+            )
+            carry = (weights, pred_means, pred_covs, ll + step_ll)
+            outputs = {
+                "means": upd.mean,
+                "covariances": upd.cov,
+                "predicted_means": pred_means,
+                "predicted_covariances": pred_covs,
+                "weights": weights,
+            }
+            return carry, outputs
+
+        init = (weights, means, covs, jnp.zeros(()))
+        (_, _, _, marginal_ll), outputs = lax.scan(
+            step, init, jnp.arange(num_timesteps)
+        )
+        outputs = gf.swap_axes_on_values(outputs)
+        return outputs, marginal_ll
+
+    spec_bank = P(axis_name)
+    shmapped = _shard_map(
+        local_filter,
+        mesh=mesh,
+        in_specs=(P(), P(), spec_bank, spec_bank, spec_bank),
+        out_specs=(
+            {
+                "means": spec_bank,
+                "covariances": spec_bank,
+                "predicted_means": spec_bank,
+                "predicted_covariances": spec_bank,
+                "weights": spec_bank,
+            },
+            P(),
+        ),
+        check_vma=False,
+    )
+    outputs, marginal_ll = jax.jit(shmapped)(emissions, inputs, w0, m0, P0)
+    return gf.PosteriorGaussianSumFiltered(
+        marginal_loglik=marginal_ll, **outputs
+    )
+
+
+__all__ = ["sharded_gaussian_sum_filter"]

@@ -407,3 +407,33 @@ class TestTimeVaryingNoise:
         tv_params = params._replace(dynamics_noise_covariance=Q_stack)
         post = gf.gaussian_sum_filter(tv_params, emissions, 3)
         assert bool(jnp.all(jnp.isfinite(post.means)))
+
+
+class TestExtendedRTSSmoother:
+    def test_linear_specialization_exact(self):
+        from bayesianfiltering_tpu.ops.linear import kalman_smoother
+
+        model, params, _ = zoo.linear_gaussian(3, 3)
+        lg = zoo.linear_gaussian_lgssm(3, 3)
+        _, emissions = model.sample(params, jr.PRNGKey(0), 25)
+        ref = kalman_smoother(lg, emissions)
+        out = gf.extended_rts_smoother(params, emissions)
+        np.testing.assert_allclose(out.smoothed_means, ref.smoothed_means,
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(out.smoothed_covariances,
+                                   ref.smoothed_covariances, rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_smoothing_tightens_covariances(self):
+        model, params, _ = zoo.scalar_growth()
+        T = 60
+        u = jnp.arange(float(T))
+        states, emissions = model.sample(params, jr.PRNGKey(1), T, inputs=u)
+        out = gf.extended_rts_smoother(params, emissions, inputs=u)
+        assert bool(jnp.all(jnp.isfinite(out.smoothed_means)))
+        # smoothed marginal variances are no larger than filtered ones
+        # everywhere except numerical noise, and strictly smaller early on
+        fvar = jnp.diagonal(out.filtered_covariances, axis1=-2, axis2=-1)
+        svar = jnp.diagonal(out.smoothed_covariances, axis1=-2, axis2=-1)
+        assert float(jnp.max(svar - fvar)) < 1e-3
+        assert float(jnp.mean(fvar[:-1] - svar[:-1])) > 0.0

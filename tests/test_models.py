@@ -246,3 +246,46 @@ class TestRangeBearingModel:
 
         # range observed -> the BPF must actually track the target
         assert float(rmse(out["means"], states)) < 5.0
+
+
+class TestAnalyticJacobians:
+    """ParamsNLSSM.*_jacobian_* extension: analytic Jacobians are used by
+    the filters and agree with the autodiff path."""
+
+    def test_filter_outputs_match_autodiff(self):
+        import bayesianfiltering_tpu.inference as gf
+        from bayesianfiltering_tpu.models import zoo
+
+        model, params, _ = zoo.range_bearing_tracking()
+        assert params.emission_jacobian_x is not None
+        T = 20
+        inputs = zoo.bot_experiment_inputs(T)
+        _, emissions = model.sample(params, jr.PRNGKey(3), T, inputs=inputs)
+        params_auto = params._replace(emission_jacobian_x=None,
+                                      emission_jacobian_r=None)
+        post_ana = gf.gaussian_sum_filter(params, emissions, 4, 1, inputs)
+        post_auto = gf.gaussian_sum_filter(params_auto, emissions, 4, 1,
+                                           inputs)
+        np.testing.assert_allclose(post_ana.means, post_auto.means,
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(post_ana.covariances,
+                                   post_auto.covariances, rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_jacobian_values_match_jacfwd(self):
+        import jax
+        from bayesianfiltering_tpu.models import zoo
+
+        _, params, _ = zoo.range_bearing_tracking()
+        h = params.emission_function
+        H = jax.jacfwd(h, 0)
+        Hr = jax.jacfwd(h, 1)
+        r0 = jnp.zeros(2)
+        for i in range(3):
+            x = jr.normal(jr.PRNGKey(i), (4,)) + jnp.array([1.0, 0, 1.0, 0])
+            np.testing.assert_allclose(
+                params.emission_jacobian_x(x, r0, 0.0), H(x, r0, 0.0),
+                rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(
+                params.emission_jacobian_r(x, r0, 0.0), Hr(x, r0, 0.0),
+                rtol=1e-5)

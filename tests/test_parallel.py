@@ -147,3 +147,45 @@ class TestShardedBPF:
         )
         err = float(jnp.max(jnp.abs(sharded["means"] - single["means"])))
         assert err < 0.3, err
+
+
+class TestShardedGSF:
+    """parallel/mixture.py: component-sharded GSF vs the single-device
+    filter — identical posteriors, collectives only for normalization."""
+
+    def test_matches_single_device(self):
+        from bayesianfiltering_tpu.parallel import make_mesh
+        from bayesianfiltering_tpu.parallel.mixture import (
+            sharded_gaussian_sum_filter,
+        )
+
+        mesh = make_mesh((8,), ("mixture",))
+        model, params, _ = zoo.bearings_only_tracking()
+        T, M = 15, 16
+        inputs = zoo.bot_maneuver_inputs(T)
+        _, emissions = model.sample(params, jr.PRNGKey(0), T, inputs=inputs)
+        ref = gf.gaussian_sum_filter(params, emissions, M, 1, inputs)
+        out = sharded_gaussian_sum_filter(params, emissions, M, mesh,
+                                          inputs=inputs)
+        np.testing.assert_allclose(out.weights, ref.weights, rtol=2e-4,
+                                   atol=2e-5)
+        np.testing.assert_allclose(out.means, ref.means, rtol=2e-4,
+                                   atol=2e-4)
+        np.testing.assert_allclose(out.covariances, ref.covariances,
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(out.marginal_loglik, ref.marginal_loglik,
+                                   rtol=1e-4)
+
+    def test_indivisible_raises(self):
+        from bayesianfiltering_tpu.parallel import make_mesh
+        from bayesianfiltering_tpu.parallel.mixture import (
+            sharded_gaussian_sum_filter,
+        )
+
+        mesh = make_mesh((8,), ("mixture",))
+        model, params, _ = zoo.bearings_only_tracking()
+        inputs = zoo.bot_maneuver_inputs(5)
+        _, emissions = model.sample(params, jr.PRNGKey(0), 5, inputs=inputs)
+        with pytest.raises(ValueError, match="divisible"):
+            sharded_gaussian_sum_filter(params, emissions, 12, mesh,
+                                        inputs=inputs)
