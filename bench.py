@@ -3,8 +3,9 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: timesteps/second-equivalent of a jitted EKF on the dx=64 Lorenz-96
-model, batched over 256 independent sequences (production-serving layout:
-`vmap` over sequences, one chip). BASELINE.json north star: >100_000
+model, batched over 512 independent sequences (production-serving layout:
+`vmap` over sequences, one chip; saturation sweep in BENCHLOG.md round 2:
+256 -> 693k, 512 -> 750k, 1024 -> 766k). BASELINE.json north star: >100_000
 timesteps/sec-equivalent on one v5e — ``vs_baseline`` is measured/100k.
 
 Context numbers measured on v5e for the other baseline configs (see
@@ -23,7 +24,7 @@ from bayesianfiltering_tpu.models import zoo
 STATE_DIM = 64
 EMISSION_DIM = 32
 NUM_STEPS = 1_000
-BATCH = 256
+BATCH = 512
 BASELINE_STEPS_PER_SEC = 100_000.0
 
 
