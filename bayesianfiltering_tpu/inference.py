@@ -43,6 +43,8 @@ from __future__ import annotations
 
 from typing import Callable, Dict, NamedTuple, Optional, Sequence, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -93,14 +95,13 @@ def _jacobians(params: ParamsNLSSM):
     evaluation dominates the mixture filters' scan step), jacfwd otherwise.
     """
     f, h = params.dynamics_function, params.emission_function
-    get = lambda name, fallback: getattr(params, name, None) or fallback
     return (
         f,
         h,
-        get("dynamics_jacobian_x", None) or jacfwd(f, argnums=0),
-        get("emission_jacobian_x", None) or jacfwd(h, argnums=0),
-        get("dynamics_jacobian_q", None) or jacfwd(f, argnums=1),
-        get("emission_jacobian_r", None) or jacfwd(h, argnums=1),
+        getattr(params, "dynamics_jacobian_x", None) or jacfwd(f, argnums=0),
+        getattr(params, "emission_jacobian_x", None) or jacfwd(h, argnums=0),
+        getattr(params, "dynamics_jacobian_q", None) or jacfwd(f, argnums=1),
+        getattr(params, "emission_jacobian_r", None) or jacfwd(h, argnums=1),
     )
 
 
@@ -183,7 +184,12 @@ def extended_kalman_filter(
     # blocked factorizations vectorize over batch lanes. vmap batches the
     # scan primitive AFTER its body is traced, so the batching check must
     # happen HERE at the filter boundary, not inside the step.
-    use_fused = False if _fused._is_vmapped(emissions) else None
+    use_fused = (
+        False
+        if _fused._is_vmapped(emissions, params.initial_mean,
+                              params.initial_covariance)
+        else None
+    )
 
     def step(carry, t):
         m_pred, P_pred, ll = carry
@@ -355,8 +361,19 @@ def gaussian_sum_filter(
     # Fused bank primitives: on TPU (dims ≤ 8) the whole linear-algebra
     # update/predict runs as ONE Pallas kernel over the component bank
     # (ops/bank_update.py); elsewhere they reduce to the vmapped EKF ops.
-    v_update = _bank.bank_ekf_condition_on_iterated
-    v_predict = _bank.bank_ekf_predict
+    # Under vmap (e.g. parallel.batched_filter) the kernels must be gated
+    # OFF at THIS boundary — a vmapped pallas_call runs sequentially per
+    # batch element while XLA batches over B·M components (BENCHLOG.md).
+    use_fused = (
+        False
+        if _fused._is_vmapped(emissions, params.initial_mean,
+                              params.initial_covariance)
+        else None
+    )
+    v_update = functools.partial(_bank.bank_ekf_condition_on_iterated,
+                                 use_pallas=use_fused)
+    v_predict = functools.partial(_bank.bank_ekf_predict,
+                                  use_pallas=use_fused)
 
     def step(carry, t):
         weights, pred_means, pred_covs, ll = carry
@@ -535,9 +552,18 @@ def _agsf_engine(
     use_ekf = moments == "ekf"
     if use_ekf:
         # Fused Pallas bank primitives on TPU (ops/bank_update.py), vmapped
-        # EKF ops elsewhere — bit-compatible semantics either way.
-        v_predict = _bank.bank_ekf_predict
-        v_update = _bank.bank_ekf_condition_on_iterated
+        # EKF ops elsewhere — bit-compatible semantics either way. Gated
+        # OFF under vmap at this filter boundary (see gaussian_sum_filter).
+        use_fused = (
+            False
+            if _fused._is_vmapped(emissions, params.initial_mean,
+                                  params.initial_covariance)
+            else None
+        )
+        v_predict = functools.partial(_bank.bank_ekf_predict,
+                                      use_pallas=use_fused)
+        v_update = functools.partial(_bank.bank_ekf_condition_on_iterated,
+                                     use_pallas=use_fused)
     else:
         v_predict = vmap(
             _ukf.ukf_predict_nonadditive,

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from bayesianfiltering_tpu.ops.pallas_kernels import (
     LANES,
     _HAS_PALLAS,
+    _pad_banks,
     from_bank_major,
     to_bank_major,
 )
@@ -198,32 +199,12 @@ def _bank_update_kernel(dx: int, dy: int, jitter: float,
 # precomputed linearizations, vmapped over the bank.
 # ---------------------------------------------------------------------------
 
-def _update_xla_one(m, P, Hx, Rt, innov, jitter):
-    from bayesianfiltering_tpu.utils.linalg import (
-        fast_cholesky,
-        symmetrize,
-        tri_inv_lower,
-    )
-
-    dy = innov.shape[-1]
-    S = symmetrize(Rt + Hx @ P @ Hx.T)
-    floor = _REL_JITTER * jnp.max(jnp.abs(jnp.diagonal(S)))
-    S = S + (jitter + floor) * jnp.eye(dy, dtype=S.dtype)
-    chol = fast_cholesky(S)
-    linv = tri_inv_lower(chol)
-    hp = Hx @ P
-    K = (linv.T @ (linv @ hp)).T
-    A = jnp.eye(P.shape[-1], dtype=P.dtype) - K @ Hx
-    cov = symmetrize(A @ P @ A.T + K @ Rt @ K.T)
-    mean = m + K @ innov
-    z = linv @ innov
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
-    ll = -0.5 * (dy * _LOG_2PI + logdet + jnp.sum(jnp.square(z)))
-    return ll, mean, cov, K
-
-
 def _update_xla(m, P, Hx, Rt, innov, jitter):
-    return jax.vmap(_update_xla_one, in_axes=(0, 0, 0, 0, 0, None))(
+    # The one shared update implementation (ops/ekf.py) — the kernel is
+    # validated against it and the VJP re-runs it.
+    from bayesianfiltering_tpu.ops.ekf import chol_update_precomputed
+
+    return jax.vmap(chol_update_precomputed, in_axes=(0, 0, 0, 0, 0, None))(
         m, P, Hx, Rt, innov, jitter
     )
 
@@ -236,10 +217,10 @@ def _update_pallas(m, P, Hx, Rt, innov, jitter: float):
     M, dx = m.shape
     dy = innov.shape[-1]
     mm = to_bank_major(m[:, :, None])            # (dx, M)
-    pm, _ = _pad_banks_like(to_bank_major(P))
-    hm, _ = _pad_banks_like(to_bank_major(Hx))
-    im, _ = _pad_banks_like(to_bank_major(innov[:, :, None]))
-    mm, _ = _pad_banks_like(mm)
+    pm, _ = _pad_banks(to_bank_major(P))
+    hm, _ = _pad_banks(to_bank_major(Hx))
+    im, _ = _pad_banks(to_bank_major(innov[:, :, None]))
+    mm, _ = _pad_banks(mm)
     rm = to_bank_major(Rt)
     # padded lanes get Rt = I so S = I there: chol/log/reciprocal stay finite
     mp = pm.shape[-1]
@@ -270,14 +251,6 @@ def _update_pallas(m, P, Hx, Rt, innov, jitter: float):
         from_bank_major(cov[:, :M], dx, dx),
         from_bank_major(K[:, :M], dx, dy),
     )
-
-
-def _pad_banks_like(x):
-    mcount = x.shape[-1]
-    pad = (-mcount) % LANES
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad)))
-    return x, mcount
 
 
 # ---------------------------------------------------------------------------
@@ -333,12 +306,14 @@ def bank_chol_update(m, P, Hx, Rt, innov, jitter=0.0, use_pallas=None):
     the Jacobian evaluation. On TPU with dx, dy ≤ 8 the whole update runs
     as one Pallas kernel (M-wide lane ops); elsewhere as the XLA reference.
     """
+    if not isinstance(jitter, (int, float)):
+        # Traced jitter cannot ride custom_vjp's nondiff_argnums; the plain
+        # XLA path is natively differentiable and handles it.
+        return _update_xla(m, P, Hx, Rt, innov, jitter)
     if use_pallas is None:
         use_pallas = _should_use_pallas(m.shape[-1], innov.shape[-1], jitter)
-    jitter = float(jitter) if isinstance(jitter, (int, float)) else jitter
-    if not isinstance(jitter, float):
-        use_pallas = False
-    return _bank_chol_update(m, P, Hx, Rt, innov, jitter, bool(use_pallas))
+    return _bank_chol_update(m, P, Hx, Rt, innov, float(jitter),
+                             bool(use_pallas))
 
 
 # ---------------------------------------------------------------------------
@@ -390,9 +365,9 @@ def _predict_cov_xla(Fx, P, Fq, Q):
 def _predict_cov_pallas(Fx, P, Fq, Q):
     M, dx = Fx.shape[0], Fx.shape[-1]
     dq = Fq.shape[-1]
-    fm, _ = _pad_banks_like(to_bank_major(Fx))
-    pm, _ = _pad_banks_like(to_bank_major(P))
-    qm_f, _ = _pad_banks_like(to_bank_major(Fq))
+    fm, _ = _pad_banks(to_bank_major(Fx))
+    pm, _ = _pad_banks(to_bank_major(P))
+    qm_f, _ = _pad_banks(to_bank_major(Fq))
     mp = fm.shape[-1]
     qb = to_bank_major(jnp.broadcast_to(Q, (mp, dq, dq)))
     spec = lambda rows: pl.BlockSpec((rows, LANES), lambda i: (0, i),
@@ -469,15 +444,22 @@ def bank_ekf_condition_on_iterated(
     one kernel per iteration. Returns an
     :class:`~bayesianfiltering_tpu.ops.ekf.EKFUpdate` of banked arrays.
     """
-    from bayesianfiltering_tpu.ops.ekf import EKFUpdate
+    from bayesianfiltering_tpu.ops.ekf import (
+        EKFUpdate,
+        _degenerate_update,
+        _static_num_iter,
+    )
 
     y = jnp.atleast_1d(y)
+    num_iter = _static_num_iter(num_iter)
+    if num_iter <= 0:
+        return jax.vmap(lambda m1, P1: _degenerate_update(m1, P1, y))(ms, Ps)
     vH = jax.vmap(lambda lp: H_x(lp, r0, u))
     vHr = jax.vmap(lambda lp: H_r(lp, r0, u))
     vh = jax.vmap(lambda lp: jnp.atleast_1d(h(lp, r0, u)))
     lin = ms
     out = None
-    for it in range(int(num_iter)):
+    for it in range(num_iter):
         Hx = jnp.reshape(vH(lin), (ms.shape[0], -1, ms.shape[-1]))
         Hr = vHr(lin)
         Hr = jnp.reshape(Hr, (ms.shape[0], Hx.shape[1], -1))

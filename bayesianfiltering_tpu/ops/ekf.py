@@ -73,6 +73,32 @@ def ekf_predict(
 _REL_JITTER = 1e-6
 
 
+def chol_update_precomputed(m, P, Hx, Rt, innov, jitter=0.0):
+    """Joseph-form Cholesky measurement update on PRECOMPUTED linearizations.
+
+    The single shared implementation of the update math — the vmapped bank
+    path, the single-stream fused-kernel XLA reference/VJP
+    (ops/bank_update.py, ops/fused_ekf.py), and :func:`ekf_condition_on`
+    all route through this function, so the numerics cannot drift apart.
+    Returns ``(ll, mean, cov, gain)``.
+    """
+    dy = innov.shape[-1]
+    S = symmetrize(Rt + Hx @ P @ Hx.T)
+    floor = _REL_JITTER * jnp.max(jnp.abs(jnp.diagonal(S, axis1=-2, axis2=-1)))
+    S = S + (jitter + floor) * jnp.eye(S.shape[-1], dtype=S.dtype)
+    chol = fast_cholesky(S)
+    linv = tri_inv_lower(chol)
+    hp = Hx @ P
+    K = (linv.T @ (linv @ hp)).T
+    A = jnp.eye(P.shape[-1], dtype=P.dtype) - K @ Hx
+    posterior_cov = symmetrize(A @ P @ A.T + K @ Rt @ K.T)
+    posterior_mean = m + K @ innov
+    z = linv @ innov
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
+    ll = -0.5 * (dy * _LOG_2PI + logdet + jnp.sum(jnp.square(z)))
+    return ll, posterior_mean, posterior_cov, K
+
+
 def _chol_update(P, Hx, Hr, R, m, y, yhat, jitter: float):
     """Shared innovation-form update given linearization (Hx, Hr) at m."""
     dy = y.shape[-1] if y.ndim else 1
@@ -150,13 +176,16 @@ def ekf_condition_on_iterated(
     iteration's linearization point.
     """
     y = jnp.atleast_1d(y)
+    num_iter = _static_num_iter(num_iter)
+    if num_iter <= 0:
+        return _degenerate_update(m, P, y)
 
     # Statically unrolled: num_iter is a Python int in every caller, and a
     # lax.fori_loop here compiles to a while-loop INSIDE the filters' scan —
     # measured catastrophic on the single-stream path (BENCHLOG round 2).
     lin_point = m
     out = None
-    for it in range(int(num_iter)):
+    for it in range(num_iter):
         Hx = H_x(lin_point, r0, u)
         Hr = H_r(lin_point, r0, u)
         # IEKF innovation correction: yhat accounts for the shift between
@@ -233,8 +262,33 @@ def ekf_step(
     return out.log_likelihood, out.mean, out.cov
 
 
+def _static_num_iter(num_iter) -> int:
+    """num_iter must be a static Python int: the iteration loop is unrolled
+    at trace time (a lax loop here compiles to a while-loop inside the
+    filters' scan — measured catastrophic, BENCHLOG round 2)."""
+    try:
+        return int(num_iter)
+    except TypeError as e:
+        raise TypeError(
+            "num_iter must be a static Python int (got a traced value); "
+            "the relinearization loop is unrolled at trace time"
+        ) from e
+
+
+def _degenerate_update(m, P, y):
+    """num_iter=0: a well-defined no-op update (prior passes through),
+    matching the old fori_loop(0, 0) semantics."""
+    dy = y.shape[-1]
+    dx = m.shape[-1]
+    return EKFUpdate(
+        jnp.zeros(()), m, P, jnp.zeros((dy, dx), P.dtype),
+        jnp.zeros((dx, dy), P.dtype),
+    )
+
+
 __all__ = [
     "EKFUpdate",
+    "chol_update_precomputed",
     "ekf_predict",
     "ekf_condition_on",
     "ekf_condition_on_iterated",

@@ -103,21 +103,11 @@ def _update_pallas(m, P, Hx, Rt, innov, jitter: float):
 
 
 def _update_xla(m, P, Hx, Rt, innov, jitter):
-    dy = innov.shape[-1]
-    S = _la.symmetrize(Rt + Hx @ P @ Hx.T)
-    floor = _REL_JITTER * jnp.max(jnp.abs(jnp.diagonal(S)))
-    S = S + (jitter + floor) * jnp.eye(dy, dtype=S.dtype)
-    chol = _la.fast_cholesky(S)
-    linv = _la.tri_inv_lower(chol)
-    hp = Hx @ P
-    K = (linv.T @ (linv @ hp)).T
-    A = jnp.eye(P.shape[-1], dtype=P.dtype) - K @ Hx
-    cov = _la.symmetrize(A @ P @ A.T + K @ Rt @ K.T)
-    mean = m + K @ innov
-    z = linv @ innov
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
-    ll = -0.5 * (dy * _LOG_2PI + logdet + jnp.sum(jnp.square(z)))
-    return ll, mean, cov, K
+    # The one shared update implementation (ops/ekf.py) — the kernel is
+    # validated against it and the VJP re-runs it.
+    from bayesianfiltering_tpu.ops.ekf import chol_update_precomputed
+
+    return chol_update_precomputed(m, P, Hx, Rt, innov, jitter)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -219,18 +209,30 @@ def fused_ekf_condition_on_iterated(
     """Single-stream (iterated) EKF measurement update with the linear
     algebra fused into one Pallas kernel per iteration. Drop-in for
     :func:`bayesianfiltering_tpu.ops.ekf.ekf_condition_on_iterated`."""
-    from bayesianfiltering_tpu.ops.ekf import EKFUpdate
+    from bayesianfiltering_tpu.ops.ekf import (
+        EKFUpdate,
+        _degenerate_update,
+        _static_num_iter,
+    )
 
     y = jnp.atleast_1d(y)
+    num_iter = _static_num_iter(num_iter)
+    if num_iter <= 0:
+        return _degenerate_update(m, P, y)
+    if not isinstance(jitter, (int, float)):
+        # Traced jitter cannot ride custom_vjp's nondiff_argnums; fall back
+        # to the plain (natively differentiable) primitive.
+        from bayesianfiltering_tpu.ops.ekf import ekf_condition_on_iterated
+
+        return ekf_condition_on_iterated(m, P, h, H_x, H_r, R, r0, u, y,
+                                         num_iter, jitter)
     if use_pallas is None:
         use_pallas = (_should_use_pallas(m.shape[-1], y.shape[-1], jitter)
                       and not _is_vmapped(m, P, y))
-    jitter = float(jitter) if isinstance(jitter, (int, float)) else jitter
-    if not isinstance(jitter, float):
-        use_pallas = False
+    jitter = float(jitter)
     lin = m
     out = None
-    for it in range(int(num_iter)):
+    for it in range(num_iter):
         Hx = jnp.reshape(H_x(lin, r0, u), (-1, m.shape[-1]))
         Hr = H_r(lin, r0, u)
         Hr = jnp.reshape(Hr, (Hx.shape[0], -1))

@@ -11,11 +11,12 @@ tracking" rows). The notebook's exact configuration is the default:
 * AGSF-ref: [2,2,2], opt_args=(0.8,0.8), multinomial reduction — the
   notebook's cell-6 settings (reported 3.09±0.63 over Nsim=10);
 * AGSF-tpu: [16,2,2], opt_args=(0.9,0.9), systematic reduction — this package's
-  recommended configuration (config sweep, BENCHLOG.md round-2): iid
+  recommended configuration (Nsim=100 sweep, EXPERIMENTS.md round 2): iid
   multinomial reduction at M=2 occasionally kills the only on-track
-  component (catastrophic RMSE outliers); deterministic top-k with a wider
-  bank tracks at mean RMSE ≈ 1.6 on the same data — better than the
-  reference's headline;
+  component (catastrophic RMSE outliers), and top-k stays heavy-tailed at
+  narrow banks (mean 14.2 at [8,2,2], 2.45 at [16,2,2]); low-variance
+  systematic reduction over the component weights gives mean 1.71
+  [1.40, 2.08] — 1.8× better than the reference's headline;
 * BPF with 10k particles (notebook cell 6).
 
 Reference per-sim AGSF values (committed notebook output): 3.78, 7.50,
