@@ -263,6 +263,82 @@ def extended_rts_smoother(
 
 
 @with_matmul_precision
+def unscented_rts_smoother(
+    params: ParamsNLSSM,
+    uparams: ParamsUKF,
+    emissions: jax.Array,
+    inputs: Optional[jax.Array] = None,
+    additive: bool = False,
+) -> PosteriorGaussianSmoothed:
+    """Unscented Rauch–Tung–Striebel smoother (URTS).
+
+    Forward pass = :func:`unscented_kalman_filter`; backward pass uses the
+    statistically-linearized gain ``G_t = D_t P_p⁻¹`` where ``D_t`` is the
+    unscented cross-covariance ``Cov(x_t, x_{t+1} | y_{1:t})`` recomputed
+    from sigma points at the filtered moments (Särkkä 2008). NEW surface vs
+    the reference (no smoother for nonlinear models); the linear
+    specialization is exact.
+    """
+    post = unscented_kalman_filter(params, uparams, emissions, inputs,
+                                   additive)
+    num_timesteps = len(emissions)
+    f = params.dynamics_function
+    inputs_arr = _process_input(inputs, num_timesteps)
+    fm, fP = post.filtered_means, post.filtered_covariances
+    pm, pP = post.predicted_means, post.predicted_covariances
+    dx = params.initial_mean.shape[-1]
+
+    def cross_cov(m, P, Q, q0, u):
+        """D = Σ wᶜ (χ − m)(f(χ) − m⁺)ᵀ via the same quadrature as the
+        filter's predict (non-additive: augmented; additive: state-only)."""
+        from bayesianfiltering_tpu.utils.sigma_points import sigma_points
+
+        if additive:
+            lamda = uparams.alpha ** 2 * (dx + uparams.kappa) - dx
+            pts = sigma_points(m, P, lamda, uparams.sqrt_method)
+            zero_q = jnp.zeros_like(q0)
+            new_pts = vmap(lambda x: f(x, zero_q, u))(pts)
+            center_new = f(m, zero_q, u)
+            n_aug = dx
+            pts_x = pts
+        else:
+            nq = q0.shape[-1]
+            n_aug = dx + nq
+            lamda = uparams.alpha ** 2 * (n_aug + uparams.kappa) - n_aug
+            mA, PA = _ukf._augment(m, P, q0, Q)
+            pts = sigma_points(mA, PA, lamda, uparams.sqrt_method)
+            new_pts = vmap(lambda xA: f(xA[:dx], xA[dx:], u))(pts)
+            center_new = f(m, q0, u)
+            pts_x = pts[:, :dx]
+        mu_new, _, centered_new = _ukf._ut_moments(
+            center_new, new_pts, lamda, n_aug, uparams.alpha, uparams.beta
+        )
+        D = jnp.einsum("ij,ik->jk", pts_x - m, centered_new) / (
+            2.0 * (lamda + n_aug)
+        )
+        return D
+
+    def step(carry, xs):
+        sm_next, sP_next = carry
+        m_f, P_f, m_p, P_p, t = xs
+        Q, q0, _, _ = _slice_noise(params, t)
+        D = cross_cov(m_f, P_f, Q, q0, inputs_arr[t])
+        G = utils.psd_solve(P_p, D.T).T
+        sm = m_f + G @ (sm_next - m_p)
+        sP = utils.symmetrize(P_f + G @ (sP_next - P_p) @ G.T)
+        return (sm, sP), (sm, sP)
+
+    last = (fm[-1], fP[-1])
+    xs = (fm[:-1], fP[:-1], pm[:-1], pP[:-1], jnp.arange(num_timesteps - 1))
+    _, (sm, sP) = lax.scan(step, last, xs, reverse=True)
+    sm = jnp.concatenate([sm, fm[-1:]], axis=0)
+    sP = jnp.concatenate([sP, fP[-1:]], axis=0)
+    return PosteriorGaussianSmoothed(
+        post.marginal_loglik, fm, fP, pm, pP, sm, sP
+    )
+
+
+@with_matmul_precision
 def unscented_kalman_filter(
     params: ParamsNLSSM,
     uparams: ParamsUKF,
@@ -881,6 +957,7 @@ __all__ = [
     "PosteriorGaussianSmoothed",
     "extended_kalman_filter",
     "extended_rts_smoother",
+    "unscented_rts_smoother",
     "unscented_kalman_filter",
     "gaussian_sum_filter",
     "unscented_gaussian_sum_filter",

@@ -35,6 +35,7 @@ from bayesianfiltering_tpu.inference import (
 )
 from bayesianfiltering_tpu.models.params import ParamsBPF, ParamsNLSSM
 from bayesianfiltering_tpu.ops import ekf as _ekf
+from bayesianfiltering_tpu.ops import fused_ekf as _fused
 from bayesianfiltering_tpu.types import PRNGKey
 from bayesianfiltering_tpu.utils.resampling import (
     effective_sample_size,
@@ -84,10 +85,10 @@ def make_ekf_stepper(params: ParamsNLSSM, num_iter: int = 1,
     @with_matmul_precision
     def step(state: EKFState, y, u, t):
         Q, q0, R, r0 = _slice_noise(params, t)
-        upd = _ekf.ekf_condition_on_iterated(
+        upd = _fused.fused_ekf_condition_on_iterated(
             state.mean, state.cov, h, H_x, H_r, R, r0, u, y, num_iter, jitter
         )
-        m_next, P_next, _ = _ekf.ekf_predict(upd.mean, upd.cov, f, F_x, F_q,
+        m_next, P_next, _ = _fused.fused_ekf_predict(upd.mean, upd.cov, f, F_x, F_q,
                                              Q, q0, u)
         new_state = EKFState(m_next, P_next,
                              state.marginal_loglik + upd.log_likelihood)

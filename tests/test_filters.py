@@ -437,3 +437,32 @@ class TestExtendedRTSSmoother:
         svar = jnp.diagonal(out.smoothed_covariances, axis1=-2, axis2=-1)
         assert float(jnp.max(svar - fvar)) < 1e-3
         assert float(jnp.mean(fvar[:-1] - svar[:-1])) > 0.0
+
+
+class TestUnscentedRTSSmoother:
+    def test_linear_specialization_exact(self):
+        from bayesianfiltering_tpu.ops.linear import kalman_smoother
+
+        model, params, _ = zoo.linear_gaussian(3, 3)
+        lg = zoo.linear_gaussian_lgssm(3, 3)
+        _, emissions = model.sample(params, jr.PRNGKey(0), 25)
+        ref = kalman_smoother(lg, emissions)
+        out = gf.unscented_rts_smoother(params, ParamsUKF(1.0, 0.0, 0.0),
+                                        emissions)
+        np.testing.assert_allclose(out.smoothed_means, ref.smoothed_means,
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(out.smoothed_covariances,
+                                   ref.smoothed_covariances, rtol=1e-3,
+                                   atol=1e-3)
+
+    def test_nonlinear_finite_and_tightens(self):
+        model, params, _ = zoo.scalar_growth()
+        T = 40
+        u = jnp.arange(float(T))
+        _, emissions = model.sample(params, jr.PRNGKey(1), T, inputs=u)
+        out = gf.unscented_rts_smoother(params, ParamsUKF(1.0, 0.0, 0.0),
+                                        emissions, inputs=u)
+        assert bool(jnp.all(jnp.isfinite(out.smoothed_means)))
+        fvar = jnp.diagonal(out.filtered_covariances, axis1=-2, axis2=-1)
+        svar = jnp.diagonal(out.smoothed_covariances, axis1=-2, axis2=-1)
+        assert float(jnp.mean(fvar[:-1] - svar[:-1])) > 0.0
