@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from bayesianfiltering_tpu.utils.linalg import (
+    chol_and_inv_lower,
     fast_cholesky,
     symmetrize,
     tri_inv_lower,
@@ -86,8 +87,9 @@ def chol_update_precomputed(m, P, Hx, Rt, innov, jitter=0.0):
     S = symmetrize(Rt + Hx @ P @ Hx.T)
     floor = _REL_JITTER * jnp.max(jnp.abs(jnp.diagonal(S, axis1=-2, axis2=-1)))
     S = S + (jitter + floor) * jnp.eye(S.shape[-1], dtype=S.dtype)
-    chol = fast_cholesky(S)
-    linv = tri_inv_lower(chol)
+    # Combined factorization: chol + tri_inv as separate recursions invert
+    # every diagonal base block twice (utils/linalg.py::chol_and_inv_lower).
+    chol, linv = chol_and_inv_lower(S)
     hp = Hx @ P
     K = (linv.T @ (linv @ hp)).T
     A = jnp.eye(P.shape[-1], dtype=P.dtype) - K @ Hx
@@ -106,11 +108,10 @@ def _chol_update(P, Hx, Hr, R, m, y, yhat, jitter: float):
     S = symmetrize(Rt + Hx @ P @ Hx.T)
     floor = _REL_JITTER * jnp.max(jnp.abs(jnp.diagonal(S, axis1=-2, axis2=-1)))
     S = S + (jitter + floor) * jnp.eye(S.shape[-1], dtype=S.dtype)
-    # Blocked (matmul-based) Cholesky + explicit triangular inverse: TPU's
+    # Blocked (matmul-based) combined Cholesky + triangular inverse: TPU's
     # native cholesky/triangular_solve lowerings are sequential loops and
     # dominate the whole filter step (BENCHLOG.md).
-    chol = fast_cholesky(S)
-    linv = tri_inv_lower(chol)
+    chol, linv = chol_and_inv_lower(S)
     hp = Hx @ P
     K = (linv.T @ (linv @ hp)).T
     # Joseph-form covariance downdate: algebraically equal to P − K S Kᵀ but

@@ -38,8 +38,11 @@ def lorenz63_comparison(args):
 
     filters = {
         "EKF": lambda e, k: gf.extended_kalman_filter(params, e).filtered_means,
+        # ParamsUKF(1,0,0): the default alpha=1e-3 gives W0c ~ -1e6 and
+        # diverges on stiff models (EXPERIMENTS.md Notes; the reference's
+        # own notebooks switch to (1,0,0) too)
         "UKF": lambda e, k: gf.unscented_kalman_filter(
-            params, ParamsUKF(), e
+            params, ParamsUKF(1.0, 0.0, 0.0), e
         ).filtered_means,
         "GSF": lambda e, k: point(gf.gaussian_sum_filter(params, e, M, 1)),
         "AGSF": lambda e, k: point(
