@@ -89,6 +89,21 @@ def _step_key(base_key: PRNGKey, t, compat_fixed: bool) -> PRNGKey:
     return base_key if compat_fixed else jr.fold_in(base_key, t)
 
 
+def _filter_vmap_gate(params: ParamsNLSSM, emissions, inputs):
+    """False (disable fused Pallas kernels) when ANY filter input is batched
+    at this trace point: a vmapped pallas_call runs sequentially per batch
+    element while XLA batches over the whole bank (BENCHLOG.md). Checked at
+    the filter boundary because vmap batches the scan primitive AFTER its
+    body is traced — in-step tracer checks cannot see it."""
+    batched = _fused._is_vmapped(
+        emissions, inputs,
+        params.initial_mean, params.initial_covariance,
+        params.dynamics_noise_bias, params.dynamics_noise_covariance,
+        params.emission_noise_bias, params.emission_noise_covariance,
+    )
+    return False if batched else None
+
+
 def _jacobians(params: ParamsNLSSM):
     """Model functions + Jacobians: analytic when the params provide them
     (ParamsNLSSM.*_jacobian_* — a TPU-first extension; the vmapped jacfwd
@@ -184,12 +199,7 @@ def extended_kalman_filter(
     # blocked factorizations vectorize over batch lanes. vmap batches the
     # scan primitive AFTER its body is traced, so the batching check must
     # happen HERE at the filter boundary, not inside the step.
-    use_fused = (
-        False
-        if _fused._is_vmapped(emissions, params.initial_mean,
-                              params.initial_covariance)
-        else None
-    )
+    use_fused = _filter_vmap_gate(params, emissions, inputs)
 
     def step(carry, t):
         m_pred, P_pred, ll = carry
@@ -440,12 +450,7 @@ def gaussian_sum_filter(
     # Under vmap (e.g. parallel.batched_filter) the kernels must be gated
     # OFF at THIS boundary — a vmapped pallas_call runs sequentially per
     # batch element while XLA batches over B·M components (BENCHLOG.md).
-    use_fused = (
-        False
-        if _fused._is_vmapped(emissions, params.initial_mean,
-                              params.initial_covariance)
-        else None
-    )
+    use_fused = _filter_vmap_gate(params, emissions, inputs)
     v_update = functools.partial(_bank.bank_ekf_condition_on_iterated,
                                  use_pallas=use_fused)
     v_predict = functools.partial(_bank.bank_ekf_predict,
@@ -630,12 +635,7 @@ def _agsf_engine(
         # Fused Pallas bank primitives on TPU (ops/bank_update.py), vmapped
         # EKF ops elsewhere — bit-compatible semantics either way. Gated
         # OFF under vmap at this filter boundary (see gaussian_sum_filter).
-        use_fused = (
-            False
-            if _fused._is_vmapped(emissions, params.initial_mean,
-                                  params.initial_covariance)
-            else None
-        )
+        use_fused = _filter_vmap_gate(params, emissions, inputs)
         v_predict = functools.partial(_bank.bank_ekf_predict,
                                       use_pallas=use_fused)
         v_update = functools.partial(_bank.bank_ekf_condition_on_iterated,

@@ -257,13 +257,18 @@ def _update_pallas(m, P, Hx, Rt, innov, jitter: float):
 # Public entry point, differentiable via the XLA reference
 # ---------------------------------------------------------------------------
 
-def _should_use_pallas(dx: int, dy: int, jitter) -> bool:
+def _should_use_pallas(dx: int, dy: int, jitter, *arrays) -> bool:
+    from bayesianfiltering_tpu.ops.fused_ekf import _is_vmapped
+
     return (
         _HAS_PALLAS
         and jax.default_backend() == "tpu"
         and dx <= 8
         and dy <= 8
         and isinstance(jitter, (int, float))
+        # a vmapped pallas_call runs sequentially per batch element; let
+        # XLA batch over B·M lanes instead (see ops/fused_ekf._is_vmapped)
+        and not _is_vmapped(*arrays)
     )
 
 
@@ -311,7 +316,8 @@ def bank_chol_update(m, P, Hx, Rt, innov, jitter=0.0, use_pallas=None):
         # XLA path is natively differentiable and handles it.
         return _update_xla(m, P, Hx, Rt, innov, jitter)
     if use_pallas is None:
-        use_pallas = _should_use_pallas(m.shape[-1], innov.shape[-1], jitter)
+        use_pallas = _should_use_pallas(m.shape[-1], innov.shape[-1], jitter,
+                                        m, P, Hx, innov)
     return _bank_chol_update(m, P, Hx, Rt, innov, float(jitter),
                              bool(use_pallas))
 
@@ -406,11 +412,13 @@ def bank_predict_cov(Fx, P, Fq, Q, use_pallas=None):
     components, fused into one Pallas kernel on TPU (XLA einsum elsewhere).
 
     ``Q`` is the shared (dq, dq) dynamics noise covariance."""
+    from bayesianfiltering_tpu.ops.fused_ekf import _is_vmapped
+
     dx, dq = Fx.shape[-1], Fq.shape[-1]
     if use_pallas is None:
         use_pallas = (
             _HAS_PALLAS and jax.default_backend() == "tpu"
-            and dx <= 8 and dq <= 8
+            and dx <= 8 and dq <= 8 and not _is_vmapped(Fx, P, Fq)
         )
     return _bank_predict_cov(Fx, P, Fq, Q, bool(use_pallas))
 

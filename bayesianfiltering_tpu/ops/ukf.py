@@ -210,6 +210,9 @@ def ukf_condition_on_nonadditive_iterated(
     reference accepts ``num_iter`` on its UKF filters but ignores it
     (ref: gaussfiltax/inference.py:379-456).
     """
+    from bayesianfiltering_tpu.ops.ekf import _static_num_iter
+
+    num_iter = _static_num_iter(num_iter)
     if num_iter <= 1:
         return ukf_condition_on_nonadditive(m, P, h, R, u, y, uparams, r0)
     from bayesianfiltering_tpu.utils.linalg import psd_solve
@@ -244,7 +247,7 @@ def ukf_condition_on_nonadditive_iterated(
     # Statically unrolled: a lax.fori_loop here compiles to a while-loop
     # inside the filters' scan (same pathology as the EKF path, ops/ekf.py).
     carry = (m, P, jnp.zeros((), P.dtype))
-    for _ in range(int(num_iter)):
+    for _ in range(num_iter):
         carry = body(carry)
     m_out, P_out, ll = carry
     return ll, m_out, P_out

@@ -42,8 +42,17 @@ from bayesianfiltering_tpu.types import PRNGKey
 
 # jit cache: re-creating + jitting the shard_mapped closure per call would
 # recompile every invocation (the round-1 batched_filter pathology,
-# VERDICT weak #9). Keyed on everything non-array that shapes the trace.
-_JIT_CACHE: dict = {}
+# VERDICT weak #9). Keyed on everything non-array that shapes the trace;
+# bounded like parallel/batch.py's lru_cache so shape sweeps can't grow the
+# executable set without limit.
+_JIT_CACHE_MAX = 128
+_JIT_CACHE: "dict" = {}
+
+
+def _cache_put(key, value):
+    if len(_JIT_CACHE) >= _JIT_CACHE_MAX:
+        _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
+    _JIT_CACHE[key] = value
 
 
 def sharded_gaussian_sum_filter(
@@ -155,7 +164,7 @@ def sharded_gaussian_sum_filter(
             check_vma=False,
         )
         jitted = jax.jit(shmapped)
-        _JIT_CACHE[cache_key] = jitted
+        _cache_put(cache_key, jitted)
     noise = (params.dynamics_noise_covariance, params.dynamics_noise_bias,
              params.emission_noise_covariance, params.emission_noise_bias)
     outputs, marginal_ll = jitted(emissions, inputs, w0, m0, P0, noise)

@@ -51,8 +51,7 @@ def psd_solve(
     n = a.shape[-1]
     if jitter:
         a = a + jitter * jnp.eye(n, dtype=a.dtype)
-    chol = fast_cholesky(a)
-    linv = tri_inv_lower(chol)
+    chol, linv = chol_and_inv_lower(a)
     vector_rhs = b.ndim == a.ndim - 1
     if vector_rhs:
         b = b[..., None]
@@ -308,6 +307,11 @@ def chol_and_inv_lower(S: jax.Array, base: int = None):
     if base is None:
         base = _BLOCK_BASE
     n = S.shape[-1]
+    if n > _BLOCK_MAX:
+        # LAPACK-style lowering wins beyond the blocked regime, same
+        # dispatch as fast_cholesky/tri_inv_lower.
+        L = jnp.linalg.cholesky(S)
+        return L, tri_inv_lower(L)
     if n <= base:
         L = _chol_unrolled(S)
         return L, _tri_inv_unrolled(L)
