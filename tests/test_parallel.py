@@ -189,3 +189,27 @@ class TestShardedGSF:
         with pytest.raises(ValueError, match="divisible"):
             sharded_gaussian_sum_filter(params, emissions, 12, mesh,
                                         inputs=inputs)
+
+    def test_weak_scaling_device_counts(self):
+        """Per-device bank constant as the mesh grows: outputs stay
+        consistent with the single-device filter at every device count."""
+        from bayesianfiltering_tpu.parallel import make_mesh
+        from bayesianfiltering_tpu.parallel.mixture import (
+            sharded_gaussian_sum_filter,
+        )
+
+        model, params, _ = zoo.bearings_only_tracking()
+        T = 10
+        inputs = zoo.bot_maneuver_inputs(T)
+        _, emissions = model.sample(params, jr.PRNGKey(2), T, inputs=inputs)
+        per_device = 2
+        for n_dev in (2, 4, 8):
+            M = per_device * n_dev
+            mesh = make_mesh((n_dev,), ("mixture",))
+            ref = gf.gaussian_sum_filter(params, emissions, M, 1, inputs)
+            out = sharded_gaussian_sum_filter(params, emissions, M, mesh,
+                                              inputs=inputs)
+            np.testing.assert_allclose(out.means, ref.means, rtol=2e-4,
+                                       atol=2e-4)
+            np.testing.assert_allclose(out.marginal_loglik,
+                                       ref.marginal_loglik, rtol=1e-4)
