@@ -798,16 +798,21 @@ def unscented_agsf(
     opt_args: Tuple[float, float] = (0.1, 0.1),
     inputs: Optional[jax.Array] = None,
     autocov: str = "prop",
+    reduction: str = "multinomial",
     compat_fixed_keys: bool = False,
+    jitter: float = 0.0,
 ):
-    """AGSF with unscented moments (ref: gaussfiltax/inference.py:814-964)."""
+    """AGSF with unscented moments (ref: gaussfiltax/inference.py:814-964).
+
+    ``reduction``/``jitter`` mirror :func:`augmented_gaussian_sum_filter`
+    (the reference's UAGSF hard-codes iid multinomial reduction)."""
     if rng_key is None:
         rng_key = jr.PRNGKey(0)
     return _agsf_engine(
         params, emissions, num_components, rng_key, opt_args, inputs,
-        moments="ukf", uparams=uparams, reduction="multinomial",
+        moments="ukf", uparams=uparams, reduction=reduction,
         autocov=autocov, num_iter=num_iter,
-        compat_fixed_keys=compat_fixed_keys, jitter=0.0,
+        compat_fixed_keys=compat_fixed_keys, jitter=jitter,
     )
 
 

@@ -466,3 +466,17 @@ class TestUnscentedRTSSmoother:
         fvar = jnp.diagonal(out.filtered_covariances, axis1=-2, axis2=-1)
         svar = jnp.diagonal(out.smoothed_covariances, axis1=-2, axis2=-1)
         assert float(jnp.mean(fvar[:-1] - svar[:-1])) > 0.0
+
+
+class TestUAGSFReduction:
+    def test_reduction_kwarg(self, bot):
+        """unscented_agsf accepts reduction/jitter like its EKF sibling."""
+        _, params, _, inputs, _, emissions = bot
+        post, _ = gf.unscented_agsf(
+            params, ParamsUKF(alpha=1.0), emissions[:10], [4, 2, 2],
+            jr.PRNGKey(1), 1, (0.5, 0.5), inputs[:10],
+            reduction="systematic", jitter=1e-8,
+        )
+        assert bool(jnp.all(jnp.isfinite(post.means)))
+        np.testing.assert_allclose(jnp.sum(post.weights, axis=0),
+                                   jnp.ones(10), rtol=1e-4)
