@@ -19,7 +19,7 @@ tracking" rows). The notebook's exact configuration is the default:
   [1.40, 2.08] — 1.8× better than the reference's headline;
 * UAGSF-tpu: the same [16,2,2]+(0.9,0.9)+systematic recipe applied to the
   UKF-moment AGSF — mean 1.87 [1.53, 2.25], median 1.31, zero divergent at
-  Nsim=100 (the reference's UAGSF diverges: 498±260);
+  Nsim=100, 96 ms/run (the reference's UAGSF diverges: 498±260 at 2.44 s);
 * BPF with 10k particles (notebook cell 6).
 
 Reference per-sim AGSF values (committed notebook output): 3.78, 7.50,
