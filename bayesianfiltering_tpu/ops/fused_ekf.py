@@ -41,7 +41,11 @@ if _HAS_PALLAS:
 _LOG_2PI = math.log(2.0 * math.pi)
 _REL_JITTER = 1e-6  # keep in sync with ops/ekf.py
 _KERNEL_BASE = 8    # in-kernel blocked-recursion base (see module docstring)
-_DIM_MAX = 256      # beyond this the dense whole-step-in-VMEM layout is moot
+# Whole-step-in-VMEM works to at least dx=512/dy=256 (P + workspaces ~4 MB
+# of the 16 MB VMEM): measured 1170 steps/s with a 15 s kernel compile on
+# the BASELINE dx=512 Lorenz-96 config — the gated-off XLA path on the
+# round-2 toolchain runs 151 steps/s with a 102 s compile (BENCHLOG.md).
+_DIM_MAX = 512
 
 
 def _dg(a, b, dims):

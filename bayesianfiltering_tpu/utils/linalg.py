@@ -178,7 +178,12 @@ _HI = jax.lax.Precision.HIGHEST
 # 32 → 358k timestep-equiv/s with a 441 s compile (the n² unrolled lattice
 # explodes). 16 balances speed and compile time.
 _BLOCK_BASE = 16
-_BLOCK_MAX = 256  # above this, LAPACK-style lowering wins; not a filter regime
+# Above _BLOCK_MAX the native (LAPACK-style custom-call) lowering wins.
+# Round 2 lowered this 256 -> 128: the round-2 toolchain compiles UNBATCHED
+# blocked recursions at n in [129, 256] for minutes (the UKF dy=256 gain on
+# the BASELINE dx=512 config hit it), while no real workload factorizes
+# BATCHED matrices that size (banks are d <= 32; larger ns appear unbatched).
+_BLOCK_MAX = 128
 
 
 def _chol_unrolled(S: jax.Array) -> jax.Array:
@@ -237,8 +242,13 @@ def _next_pow2(n: int) -> int:
 
 def tri_inv_lower(L: jax.Array) -> jax.Array:
     """Inverse of a lower-triangular matrix via blocked recursion
-    (batched matmuls): inv([[A,0],[C,D]]) = [[A⁻¹,0],[−D⁻¹ C A⁻¹, D⁻¹]]."""
+    (batched matmuls): inv([[A,0],[C,D]]) = [[A⁻¹,0],[−D⁻¹ C A⁻¹, D⁻¹]].
+    Above ``_BLOCK_MAX`` the native TriangularSolve lowering wins (same
+    dispatch rationale as :func:`fast_cholesky`)."""
     n = L.shape[-1]
+    if n > _BLOCK_MAX:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+        return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
     if n <= _BLOCK_BASE:
         return _tri_inv_unrolled(L)
     p = _next_pow2(n)
