@@ -41,6 +41,11 @@ def ensure_array_has_batch_dim(tree, instance_shapes):
             f"array of rank {arr.ndim} does not match instance shape {shape}"
         )
 
+    if instance_shapes is None:
+        # Model declares no inputs_shape (input_dim 0): the per-timestep
+        # input shape is unknowable here, so pass through unchanged — the
+        # caller must supply inputs already batched (B, T, ...).
+        return tree
     if isinstance(instance_shapes, tuple) and all(
         isinstance(s, int) for s in instance_shapes
     ):

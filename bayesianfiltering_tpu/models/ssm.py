@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import jax.random as jr
 import optax
 from jax import jit, lax, vmap
+from jax import tree_util as jtu
 from jax.tree_util import tree_map
 from typing_extensions import Protocol
 
@@ -84,69 +85,65 @@ class SSM(ABC):
         num_timesteps: int,
         inputs=None,
     ):
-        """Sample (states, emissions) via lax.scan
-        (ref: gaussfiltax/ssm.py:169-211)."""
+        """Sample (states, emissions); capability match for the generic
+        ancestral sampler at ref: gaussfiltax/ssm.py:169-211.
 
-        def _step(prev_state, args):
-            key_t, inpt = args
-            key1, key2 = jr.split(key_t, 2)
-            state = self.transition_distribution(params, prev_state, inpt).sample(
-                seed=key2
+        TPU-first shape: ONE ``lax.scan`` over every timestep (no
+        concatenate of a separately-handled t=0 slice — uniform per-step
+        program, uniform output layout), with per-step randomness derived
+        by ``jr.fold_in`` on the step index so the stream is independent
+        of ``num_timesteps`` prefixes.
+        """
+        key_init, key_seq = jr.split(key)
+        u_first = tree_map(lambda a: a[0], inputs)
+        x_first = self.initial_distribution(params, u_first).sample(seed=key_init)
+
+        def _draw_t(x_prev, t):
+            u_t = tree_map(lambda a: a[t], inputs)
+            k_state, k_obs = jr.split(jr.fold_in(key_seq, t))
+            x_prop = self.transition_distribution(params, x_prev, u_t).sample(
+                seed=k_state
             )
-            emission = self.emission_distribution(params, state, inpt).sample(
-                seed=key1
+            # Timestep 0 takes the pre-drawn initial-distribution sample;
+            # every later step takes the transition draw.
+            x_t = tree_map(
+                lambda first, prop: jnp.where(t > 0, prop, first),
+                x_first, x_prop,
             )
-            return state, (state, emission)
+            y_t = self.emission_distribution(params, x_t, u_t).sample(seed=k_obs)
+            return x_t, (x_t, y_t)
 
-        key1, key2, key = jr.split(key, 3)
-        initial_input = tree_map(lambda x: x[0], inputs)
-        initial_state = self.initial_distribution(params, initial_input).sample(
-            seed=key1
+        _, (states, emissions) = lax.scan(
+            _draw_t, x_first, jnp.arange(num_timesteps)
         )
-        initial_emission = self.emission_distribution(
-            params, initial_state, initial_input
-        ).sample(seed=key2)
-
-        next_keys = jr.split(key, num_timesteps - 1)
-        next_inputs = tree_map(lambda x: x[1:], inputs)
-        _, (next_states, next_emissions) = lax.scan(
-            _step, initial_state, (next_keys, next_inputs)
-        )
-
-        expand_and_cat = lambda x0, x1T: jnp.concatenate(
-            (jnp.expand_dims(x0, 0), x1T)
-        )
-        states = tree_map(expand_and_cat, initial_state, next_states)
-        emissions = tree_map(expand_and_cat, initial_emission, next_emissions)
         return states, emissions
 
     def log_prob(self, params: ParameterSet, states, emissions, inputs=None) -> Scalar:
-        """Joint log p(x_{1:T}, y_{1:T}) (ref: gaussfiltax/ssm.py:213-241)."""
+        """Joint log p(x_{1:T}, y_{1:T}); capability match for
+        ref: gaussfiltax/ssm.py:213-241.
 
-        def _step(carry, args):
-            lp, prev_state = carry
-            state, emission, inpt = args
-            lp += self.transition_distribution(params, prev_state, inpt).log_prob(
-                state
+        Single scan over step indices emitting per-step log-densities
+        (summed once at the end — keeps the scan carry minimal); the t=0
+        initial-density term is selected with ``lax.cond`` in-scan.
+        """
+        num_timesteps = jtu.tree_leaves(states)[0].shape[0]
+
+        def _lp_t(x_prev, t):
+            u_t = tree_map(lambda a: a[t], inputs)
+            x_t = tree_map(lambda a: a[t], states)
+            y_t = tree_map(lambda a: a[t], emissions)
+            lp_state = lax.cond(
+                t > 0,
+                lambda: self.transition_distribution(
+                    params, x_prev, u_t).log_prob(x_t),
+                lambda: self.initial_distribution(params, u_t).log_prob(x_t),
             )
-            lp += self.emission_distribution(params, state, inpt).log_prob(emission)
-            return (lp, state), None
+            lp_obs = self.emission_distribution(params, x_t, u_t).log_prob(y_t)
+            return x_t, lp_state + lp_obs
 
-        initial_state = tree_map(lambda x: x[0], states)
-        initial_emission = tree_map(lambda x: x[0], emissions)
-        initial_input = tree_map(lambda x: x[0], inputs)
-        lp = self.initial_distribution(params, initial_input).log_prob(initial_state)
-        lp += self.emission_distribution(
-            params, initial_state, initial_input
-        ).log_prob(initial_emission)
-
-        next_states = tree_map(lambda x: x[1:], states)
-        next_emissions = tree_map(lambda x: x[1:], emissions)
-        next_inputs = tree_map(lambda x: x[1:], inputs)
-        (lp, _), _ = lax.scan(
-            _step, (lp, initial_state), (next_states, next_emissions, next_inputs)
-        )
-        return lp
+        x_first = tree_map(lambda a: a[0], states)
+        _, step_lps = lax.scan(_lp_t, x_first, jnp.arange(num_timesteps))
+        return jnp.sum(step_lps)
 
     # -- inference hooks (overridden by concrete models) ------------------
     def marginal_log_prob(self, params: ParameterSet, emissions, inputs=None) -> Scalar:
@@ -180,6 +177,15 @@ class SSM(ABC):
         """EM driver (ref: gaussfiltax/ssm.py:346-399, NameError fixed)."""
         batch_emissions = ensure_array_has_batch_dim(emissions, self.emission_shape)
         batch_inputs = ensure_array_has_batch_dim(inputs, self.inputs_shape)
+
+        # Function-valued leaves (ParamsNLSSM carries f/h/Jacobian
+        # callables) cannot cross a jit boundary as abstract arrays; wrap
+        # them in jtu.Partial so they ride the pytree as (static) callables.
+        params = tree_map(
+            lambda x: jtu.Partial(x)
+            if callable(x) and not isinstance(x, jtu.Partial) else x,
+            params,
+        )
 
         @jit
         def em_step(params, m_step_state):
