@@ -89,6 +89,24 @@ def _step_key(base_key: PRNGKey, t, compat_fixed: bool) -> PRNGKey:
     return base_key if compat_fixed else jr.fold_in(base_key, t)
 
 
+def _predict_input(inputs, t, num_timesteps: int):
+    """Input for the within-scan t → t+1 transition.
+
+    The generative model is ``x_{t+1} = f(x_t, q, u_{t+1})`` (models/
+    nonlinear.py and ref: gaussfiltax/models.py:264), but the reference's
+    update-then-predict filters predict with ``u_t``
+    (ref: gaussfiltax/inference.py:353): at every input switch the filter
+    propagates the wrong dynamics for one step. On the BOT maneuver model
+    (R = 2.5e-5) that single wrong-dynamics step drops every component's
+    log-likelihood by ~1e6 and is the root cause of the reference's GSF
+    divergences (its AGSF is immune — its split→predict→update order makes
+    the in-step predict (t−1)→t with ``u_t``, which is aligned). Conscious
+    fix, see PARITY.md; the final step clamps to the last input (its
+    prediction conditions no further emission).
+    """
+    return inputs[jnp.minimum(t + 1, num_timesteps - 1)]
+
+
 def _filter_vmap_gate(params: ParamsNLSSM, emissions, inputs):
     """False (disable fused Pallas kernels) when ANY filter input is batched
     at this trace point: a vmapped pallas_call runs sequentially per batch
@@ -178,6 +196,7 @@ def extended_kalman_filter(
     inputs: Optional[jax.Array] = None,
     jitter: float = 0.0,
     compat_scalar: bool = False,
+    update_chunk: Optional[int] = None,
 ) -> PosteriorGaussianFiltered:
     """First-order EKF for non-additive-noise nonlinear SSMs.
 
@@ -189,6 +208,12 @@ def extended_kalman_filter(
     ``compat_scalar=True`` runs the reference-exact update (scalar-jitter LU
     gain, difference-form downdate — ref: gaussfiltax/utils.py:256-259) for
     golden-parity testing; it ignores ``num_iter``/``jitter``.
+
+    ``update_chunk`` enables the sequential chunked measurement update for
+    large emission dimensions (exact for block-diagonal effective noise;
+    see :func:`bayesianfiltering_tpu.ops.fused_ekf.fused_ekf_condition_on_chunked`).
+    Recommended ``update_chunk=128`` for dy > 128 with diagonal R (the
+    BASELINE dx=512 Lorenz-96 config).
     """
     num_timesteps = len(emissions)
     f, h, F_x, H_x, F_q, H_r = _jacobians(params)
@@ -200,22 +225,35 @@ def extended_kalman_filter(
     # scan primitive AFTER its body is traced, so the batching check must
     # happen HERE at the filter boundary, not inside the step.
     use_fused = _filter_vmap_gate(params, emissions, inputs)
+    residual_fn = getattr(params, "emission_residual", None)
 
     def step(carry, t):
         m_pred, P_pred, ll = carry
         Q, q0, R, r0 = _slice_noise(params, t)
         u, y = inputs[t], emissions[t]
         if compat_scalar:
+            # reference-exact mode: plain subtraction, quirks included
             upd = _ekf.ekf_condition_on_ref(
                 m_pred, P_pred, h, H_x, H_r, R, r0, u, y
+            )
+        elif update_chunk is not None:
+            upd = _fused.fused_ekf_condition_on_chunked(
+                m_pred, P_pred, h, H_x, H_r, R, r0, u, y, update_chunk,
+                num_iter, jitter, use_pallas=use_fused,
+                residual_fn=residual_fn,
             )
         else:
             upd = _fused.fused_ekf_condition_on_iterated(
                 m_pred, P_pred, h, H_x, H_r, R, r0, u, y, num_iter, jitter,
-                use_pallas=use_fused,
+                use_pallas=use_fused, residual_fn=residual_fn,
             )
+        # compat mode keeps the reference's misaligned u_t predict
+        # (see _predict_input) so golden parity pins its exact semantics.
+        u_next = u if compat_scalar else _predict_input(inputs, t,
+                                                        num_timesteps)
         m_next, P_next, _ = _fused.fused_ekf_predict(
-            upd.mean, upd.cov, f, F_x, F_q, Q, q0, u, use_pallas=use_fused
+            upd.mean, upd.cov, f, F_x, F_q, Q, q0, u_next,
+            use_pallas=use_fused,
         )
         carry = (m_next, P_next, ll + upd.log_likelihood)
         return carry, (upd.mean, upd.cov, m_next, P_next)
@@ -256,7 +294,8 @@ def extended_rts_smoother(
         sm_next, sP_next = carry
         m_f, P_f, m_p, P_p, t = xs
         _, q0, _, _ = _slice_noise(params, t)
-        Fx = F_x(m_f, q0, inputs_arr[t])
+        # same u_{t+1} linearization as the filter's t -> t+1 predict
+        Fx = F_x(m_f, q0, inputs_arr[t + 1])
         G = utils.psd_solve(P_p, Fx @ P_f).T
         sm = m_f + G @ (sm_next - m_p)
         sP = utils.symmetrize(P_f + G @ (sP_next - P_p) @ G.T)
@@ -270,6 +309,40 @@ def extended_rts_smoother(
     return PosteriorGaussianSmoothed(
         post.marginal_loglik, fm, fP, pm, pP, sm, sP
     )
+
+
+def _ut_dynamics_cross_cov(f, m, P, Q, q0, u, uparams, additive: bool):
+    """D = Cov(x_t, x_{t+1} | y_{1:t}) = Σ wᶜ (χ − m)(f(χ) − m⁺)ᵀ via the
+    same quadrature as the UKF predict (non-additive: augmented; additive:
+    state-only). Shared by the URTS smoother and the unscented EM E-step
+    (models/nonlinear.py)."""
+    from bayesianfiltering_tpu.utils.sigma_points import sigma_points
+
+    dx = m.shape[-1]
+    if additive:
+        lamda = uparams.alpha ** 2 * (dx + uparams.kappa) - dx
+        pts = sigma_points(m, P, lamda, uparams.sqrt_method)
+        zero_q = jnp.zeros_like(q0)
+        new_pts = vmap(lambda x: f(x, zero_q, u))(pts)
+        center_new = f(m, zero_q, u)
+        n_aug = dx
+        pts_x = pts
+    else:
+        nq = q0.shape[-1]
+        n_aug = dx + nq
+        lamda = uparams.alpha ** 2 * (n_aug + uparams.kappa) - n_aug
+        mA, PA = _ukf._augment(m, P, q0, Q)
+        pts = sigma_points(mA, PA, lamda, uparams.sqrt_method)
+        new_pts = vmap(lambda xA: f(xA[:dx], xA[dx:], u))(pts)
+        center_new = f(m, q0, u)
+        pts_x = pts[:, :dx]
+    mu_new, _, centered_new = _ukf._ut_moments(
+        center_new, new_pts, lamda, n_aug, uparams.alpha, uparams.beta
+    )
+    D = jnp.einsum("ij,ik->jk", pts_x - m, centered_new) / (
+        2.0 * (lamda + n_aug)
+    )
+    return D
 
 
 @with_matmul_precision
@@ -299,40 +372,14 @@ def unscented_rts_smoother(
     dx = params.initial_mean.shape[-1]
 
     def cross_cov(m, P, Q, q0, u):
-        """D = Σ wᶜ (χ − m)(f(χ) − m⁺)ᵀ via the same quadrature as the
-        filter's predict (non-additive: augmented; additive: state-only)."""
-        from bayesianfiltering_tpu.utils.sigma_points import sigma_points
-
-        if additive:
-            lamda = uparams.alpha ** 2 * (dx + uparams.kappa) - dx
-            pts = sigma_points(m, P, lamda, uparams.sqrt_method)
-            zero_q = jnp.zeros_like(q0)
-            new_pts = vmap(lambda x: f(x, zero_q, u))(pts)
-            center_new = f(m, zero_q, u)
-            n_aug = dx
-            pts_x = pts
-        else:
-            nq = q0.shape[-1]
-            n_aug = dx + nq
-            lamda = uparams.alpha ** 2 * (n_aug + uparams.kappa) - n_aug
-            mA, PA = _ukf._augment(m, P, q0, Q)
-            pts = sigma_points(mA, PA, lamda, uparams.sqrt_method)
-            new_pts = vmap(lambda xA: f(xA[:dx], xA[dx:], u))(pts)
-            center_new = f(m, q0, u)
-            pts_x = pts[:, :dx]
-        mu_new, _, centered_new = _ukf._ut_moments(
-            center_new, new_pts, lamda, n_aug, uparams.alpha, uparams.beta
-        )
-        D = jnp.einsum("ij,ik->jk", pts_x - m, centered_new) / (
-            2.0 * (lamda + n_aug)
-        )
-        return D
+        return _ut_dynamics_cross_cov(f, m, P, Q, q0, u, uparams, additive)
 
     def step(carry, xs):
         sm_next, sP_next = carry
         m_f, P_f, m_p, P_p, t = xs
         Q, q0, _, _ = _slice_noise(params, t)
-        D = cross_cov(m_f, P_f, Q, q0, inputs_arr[t])
+        # same u_{t+1} quadrature as the filter's t -> t+1 predict
+        D = cross_cov(m_f, P_f, Q, q0, inputs_arr[t + 1])
         G = utils.psd_solve(P_p, D.T).T
         sm = m_f + G @ (sm_next - m_p)
         sP = utils.symmetrize(P_f + G @ (sP_next - P_p) @ G.T)
@@ -365,19 +412,22 @@ def unscented_kalman_filter(
     num_timesteps = len(emissions)
     f, h = params.dynamics_function, params.emission_function
     inputs = _process_input(inputs, num_timesteps)
+    residual_fn = getattr(params, "emission_residual", None)
     if additive:
         if num_iter > 1:
             raise ValueError(
                 "num_iter > 1 (IPLF) is only implemented for the "
                 "non-additive quadrature; pass additive=False"
             )
-        predict, condition = _ukf.ukf_predict_additive, _ukf.ukf_condition_on_additive
+        predict = _ukf.ukf_predict_additive
+        condition = functools.partial(_ukf.ukf_condition_on_additive,
+                                      residual_fn=residual_fn)
     else:
         predict = _ukf.ukf_predict_nonadditive
 
         def condition(m, P, h, R, u, y, uparams, r0):
             return _ukf.ukf_condition_on_nonadditive_iterated(
-                m, P, h, R, u, y, uparams, r0, num_iter
+                m, P, h, R, u, y, uparams, r0, num_iter, residual_fn
             )
 
     def step(carry, t):
@@ -385,7 +435,8 @@ def unscented_kalman_filter(
         Q, q0, R, r0 = _slice_noise(params, t)
         u, y = inputs[t], emissions[t]
         ll_t, m_filt, P_filt = condition(m_pred, P_pred, h, R, u, y, uparams, r0)
-        m_next, P_next = predict(m_filt, P_filt, f, u, Q, uparams, q0)
+        u_next = _predict_input(inputs, t, num_timesteps)
+        m_next, P_next = predict(m_filt, P_filt, f, u_next, Q, uparams, q0)
         return (m_next, P_next, ll + ll_t), (m_filt, P_filt, m_next, P_next)
 
     init = (params.initial_mean, params.initial_covariance, jnp.zeros(()))
@@ -413,10 +464,19 @@ def _init_mixture(params: ParamsNLSSM, num_components: int, key: PRNGKey):
 
 
 def _reweight(lls, weights):
-    """Max-stabilized multiplicative weight update; also returns the
-    incremental marginal likelihood log Σ_m w_m exp(ll_m)."""
-    shift = jnp.max(lls)
-    unnorm = weights * jnp.exp(lls - shift)
+    """Log-space multiplicative weight update; also returns the incremental
+    marginal likelihood log Σ_m w_m exp(ll_m).
+
+    Shifting by max(log w + ll) — not max(ll) as the reference does
+    (ref: gaussfiltax/inference.py:347-350) — guarantees the dominant term
+    exponentiates to exactly 1, so the normalizer can never underflow to
+    0/0 when every component's likelihood is astronomically small (one bad
+    step at R=2.5e-5 gives lls ≈ −8e6 across the whole bank; the
+    reference's form NaNs there if the best-fitting component's weight had
+    already underflowed)."""
+    logw = jnp.log(weights) + lls
+    shift = jnp.max(logw)
+    unnorm = jnp.exp(logw - shift)
     total = jnp.sum(unnorm)
     step_loglik = jnp.log(total) + shift
     return unnorm / total, step_loglik
@@ -451,8 +511,9 @@ def gaussian_sum_filter(
     # OFF at THIS boundary — a vmapped pallas_call runs sequentially per
     # batch element while XLA batches over B·M components (BENCHLOG.md).
     use_fused = _filter_vmap_gate(params, emissions, inputs)
-    v_update = functools.partial(_bank.bank_ekf_condition_on_iterated,
-                                 use_pallas=use_fused)
+    v_update = functools.partial(
+        _bank.bank_ekf_condition_on_iterated, use_pallas=use_fused,
+        residual_fn=getattr(params, "emission_residual", None))
     v_predict = functools.partial(_bank.bank_ekf_predict,
                                   use_pallas=use_fused)
 
@@ -464,7 +525,9 @@ def gaussian_sum_filter(
         upd = v_update(pred_means, pred_covs, h, H_x, H_r, R, r0, u, y,
                        num_iter, jitter)
         weights, step_ll = _reweight(upd.log_likelihood, weights)
-        pred_means, pred_covs, _ = v_predict(upd.mean, upd.cov, f, F_x, F_q, Q, q0, u)
+        u_next = _predict_input(inputs, t, num_timesteps)
+        pred_means, pred_covs, _ = v_predict(upd.mean, upd.cov, f, F_x, F_q,
+                                             Q, q0, u_next)
 
         carry = (weights, pred_means, pred_covs, ll + step_ll)
         outputs = {
@@ -508,7 +571,9 @@ def unscented_gaussian_sum_filter(
     # (M, 2n, d) sigma-point tensors costs more than fusing the ~25 moment/
     # gain ops saves (BENCHLOG.md). The vmapped form below is the fast path.
     v_update = vmap(
-        _ukf.ukf_condition_on_nonadditive_iterated,
+        functools.partial(
+            _ukf.ukf_condition_on_nonadditive_iterated,
+            residual_fn=getattr(params, "emission_residual", None)),
         in_axes=(0, 0, None, None, None, None, None, None, None),
     )
     v_predict = vmap(
@@ -523,7 +588,9 @@ def unscented_gaussian_sum_filter(
         lls, f_means, f_covs = v_update(pred_means, pred_covs, h, R, u, y, uparams,
                                         r0, num_iter)
         weights, step_ll = _reweight(lls, weights)
-        pred_means, pred_covs = v_predict(f_means, f_covs, f, u, Q, uparams, q0)
+        u_next = _predict_input(inputs, t, num_timesteps)
+        pred_means, pred_covs = v_predict(f_means, f_covs, f, u_next, Q,
+                                          uparams, q0)
 
         carry = (weights, pred_means, pred_covs, ll + step_ll)
         outputs = {
@@ -638,15 +705,18 @@ def _agsf_engine(
         use_fused = _filter_vmap_gate(params, emissions, inputs)
         v_predict = functools.partial(_bank.bank_ekf_predict,
                                       use_pallas=use_fused)
-        v_update = functools.partial(_bank.bank_ekf_condition_on_iterated,
-                                     use_pallas=use_fused)
+        v_update = functools.partial(
+            _bank.bank_ekf_condition_on_iterated, use_pallas=use_fused,
+            residual_fn=getattr(params, "emission_residual", None))
     else:
         v_predict = vmap(
             _ukf.ukf_predict_nonadditive,
             in_axes=(0, 0, None, None, None, None, None),
         )
         v_update = vmap(
-            _ukf.ukf_condition_on_nonadditive_iterated,
+            functools.partial(
+                _ukf.ukf_condition_on_nonadditive_iterated,
+                residual_fn=getattr(params, "emission_residual", None)),
             in_axes=(0, 0, None, None, None, None, None, None, None),
         )
 

@@ -53,6 +53,12 @@ class ParamsNLSSM(NamedTuple):
     dynamics_jacobian_q: Optional[Callable] = None
     emission_jacobian_x: Optional[Callable] = None
     emission_jacobian_r: Optional[Callable] = None
+    # Optional innovation residual ``(y, yhat) -> y ⊖ yhat`` for emissions
+    # with non-Euclidean components (bearings: wrap to (−π, π], see
+    # utils/angles.py). None means plain subtraction — the reference's
+    # (only) behavior, whose unwrapped ±2π bearing innovations are how its
+    # GSF/UAGSF runs NaN on the BOT benchmark (BASELINE.md).
+    emission_residual: Optional[Callable] = None
 
 
 class ParamsBPF(NamedTuple):

@@ -29,6 +29,7 @@ from bayesianfiltering_tpu.distributions import mvn_logpdf
 from bayesianfiltering_tpu.models.nonlinear import NonlinearSSM
 from bayesianfiltering_tpu.models.params import ParamsBPF, ParamsNLSSM
 from bayesianfiltering_tpu.ops.linear import ParamsLGSSM
+from bayesianfiltering_tpu.utils.angles import angular_residual
 
 
 def _bundle(state_dim, state_noise_dim, emission_dim, emission_noise_dim,
@@ -104,13 +105,22 @@ def linear_gaussian_lgssm(state_dim: int = 3, emission_dim: int = 3,
 
 def bearings_only_tracking(dt: float = 0.5, acc: float = 0.5,
                            maneuvering: bool = True,
-                           r: float = 25e-6):
+                           r: float = 25e-6,
+                           wrap_bearing: bool = True):
     """Bearing-only tracking with optional maneuver inputs — the reference's
     canonical benchmark (ref: docs/tests/test_inference.py:22-56).
 
     State (px, vx, py, vy); constant-velocity / coordinated-turn dynamics
     blended by the discrete input u ∈ {0, 1, 2}; bearing observation
     arctan2(py, px).
+
+    ``wrap_bearing`` (default on) wraps the bearing innovation to (−π, π]
+    (utils/angles.py): when the trajectory crosses the ±π branch cut the
+    raw innovation jumps by ~2π, which at this model's R = 2.5e-5 catapults
+    every EKF in a bank — the root cause of the GSF divergences on this
+    benchmark (the reference, which never wraps, NaNs the same way in its
+    committed BOT notebook run). Pass False for reference-faithful
+    behavior.
     """
     FCV = jnp.array([[1, dt, 0, 0], [0, 1, 0, 0], [0, 0, 1, dt], [0, 0, 0, 1]],
                     dtype=jnp.float32)
@@ -149,7 +159,10 @@ def bearings_only_tracking(dt: float = 0.5, acc: float = 0.5,
     Sigma0 = jnp.diag(jnp.array([0.1, 0.005, 0.1, 0.01]))
     Q = jnp.eye(2)
     R = r * jnp.eye(1)
-    return _bundle(4, 2, 1, 1, mu0, Sigma0, f, Q, h, R)
+    extras = {}
+    if wrap_bearing:
+        extras["emission_residual"] = angular_residual((0,))
+    return _bundle(4, 2, 1, 1, mu0, Sigma0, f, Q, h, R, **extras)
 
 
 def bot_maneuver_inputs(seq_length: int) -> jnp.ndarray:
@@ -160,7 +173,8 @@ def bot_maneuver_inputs(seq_length: int) -> jnp.ndarray:
 
 
 def range_bearing_tracking(dt: float = 0.5, acc: float = 0.5,
-                           q: float = 1e-5, r: float = 25e-6):
+                           q: float = 1e-5, r: float = 25e-6,
+                           wrap_bearing: bool = True):
     """The T=500 BOT-experiment variant with range+bearing observations
     (ref: docs/notebooks/BOTExperiment.ipynb cell 2; BASELINE.md "BOT
     tracking" rows): Q = 1e-5, mildly unstable CV dynamics (1.05·F_CV),
@@ -214,9 +228,14 @@ def range_bearing_tracking(dt: float = 0.5, acc: float = 0.5,
 
     mu0 = jnp.array([-0.05, 0.001, 0.7, -0.05])
     Sigma0 = jnp.diag(jnp.array([0.1, 0.005, 0.1, 0.01]))
+    extras = {}
+    if wrap_bearing:
+        # bearing is emission component 0 (see zoo.bearings_only_tracking
+        # docstring for the ±π branch-cut rationale)
+        extras["emission_residual"] = angular_residual((0,))
     return _bundle(4, 2, 2, 2, mu0, Sigma0, f, q * jnp.eye(2), h,
                    r * jnp.eye(2), emission_jacobian_x=h_jac_x,
-                   emission_jacobian_r=h_jac_r)
+                   emission_jacobian_r=h_jac_r, **extras)
 
 
 def bot_experiment_inputs(seq_length: int) -> jnp.ndarray:

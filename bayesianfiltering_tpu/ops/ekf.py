@@ -101,7 +101,17 @@ def chol_update_precomputed(m, P, Hx, Rt, innov, jitter=0.0):
     return ll, posterior_mean, posterior_cov, K
 
 
-def _chol_update(P, Hx, Hr, R, m, y, yhat, jitter: float):
+def _residual(y, yhat, residual_fn=None):
+    """Innovation ``y ⊖ ŷ``: plain subtraction unless the model supplies a
+    residual (e.g. utils.angles.angular_residual for bearing emissions —
+    the unwrapped ±2π innovation is how the reference's filters diverge on
+    its BOT benchmark)."""
+    y = jnp.atleast_1d(y)
+    yhat = jnp.atleast_1d(yhat)
+    return y - yhat if residual_fn is None else residual_fn(y, yhat)
+
+
+def _chol_update(P, Hx, Hr, R, m, y, yhat, jitter: float, residual_fn=None):
     """Shared innovation-form update given linearization (Hx, Hr) at m."""
     dy = y.shape[-1] if y.ndim else 1
     Rt = Hr @ R @ Hr.T
@@ -120,7 +130,7 @@ def _chol_update(P, Hx, Hr, R, m, y, yhat, jitter: float):
     # which is how the reference's filters NaN out on that model.
     A = jnp.eye(P.shape[-1], dtype=P.dtype) - K @ Hx
     posterior_cov = symmetrize(A @ P @ A.T + K @ Rt @ K.T)
-    innov = jnp.atleast_1d(y) - jnp.atleast_1d(yhat)
+    innov = _residual(y, yhat, residual_fn)
     posterior_mean = m + K @ innov
     # log N(y | yhat, S) on the same factor
     z = linv @ innov
@@ -140,6 +150,7 @@ def ekf_condition_on(
     u,
     y: jax.Array,
     jitter: float = 0.0,
+    residual_fn=None,
 ) -> EKFUpdate:
     """First-order EKF measurement update with non-additive noise.
 
@@ -151,7 +162,8 @@ def ekf_condition_on(
     Hr = H_r(m, r0, u)
     yhat = h(m, r0, u)
     y = jnp.atleast_1d(y)
-    ll, mean, cov, K = _chol_update(P, Hx, Hr, R, m, y, yhat, jitter)
+    ll, mean, cov, K = _chol_update(P, Hx, Hr, R, m, y, yhat, jitter,
+                                    residual_fn)
     return EKFUpdate(ll, mean, cov, Hx, K)
 
 
@@ -167,6 +179,7 @@ def ekf_condition_on_iterated(
     y: jax.Array,
     num_iter: int = 1,
     jitter: float = 0.0,
+    residual_fn=None,
 ) -> EKFUpdate:
     """Iterated EKF update: relinearize ``num_iter`` times around the current
     posterior mean (IEKF). ``num_iter=1`` reduces to :func:`ekf_condition_on`.
@@ -194,7 +207,8 @@ def ekf_condition_on_iterated(
         yhat = jnp.atleast_1d(h(lin_point, r0, u))
         if it > 0:
             yhat = yhat + Hx @ (m - lin_point)
-        ll, mean, cov, K = _chol_update(P, Hx, Hr, R, m, y, yhat, jitter)
+        ll, mean, cov, K = _chol_update(P, Hx, Hr, R, m, y, yhat, jitter,
+                                        residual_fn)
         lin_point = mean
         out = EKFUpdate(ll, mean, cov, Hx, K)
     return out

@@ -105,7 +105,7 @@ def ukf_predict_nonadditive(
 
 
 def ukf_condition_on_additive(
-    m, P, h: Callable, R, u, y, uparams: ParamsUKF, r0=None
+    m, P, h: Callable, R, u, y, uparams: ParamsUKF, r0=None, residual_fn=None
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """UT measurement update, additive noise
     (ref: gaussfiltax/inference.py:176-196). Returns (ll, mean, cov)."""
@@ -120,11 +120,11 @@ def ukf_condition_on_additive(
                                     uparams.beta)
     S = symmetrize(S + R)
     C = jnp.einsum("ij,ik->jk", centered, pts - m) / (2.0 * (lamda + dx))
-    return _ukf_gain_update(m, P, mu_y, S, C, y)
+    return _ukf_gain_update(m, P, mu_y, S, C, y, residual_fn)
 
 
 def ukf_condition_on_nonadditive(
-    m, P, h: Callable, R, u, y, uparams: ParamsUKF, r0=None
+    m, P, h: Callable, R, u, y, uparams: ParamsUKF, r0=None, residual_fn=None
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """UT measurement update, non-additive noise via augmentation
     (ref: gaussfiltax/inference.py:198-224). Returns (ll, mean, cov)."""
@@ -142,10 +142,10 @@ def ukf_condition_on_nonadditive(
                                     uparams.beta)
     S = symmetrize(S)
     C = jnp.einsum("ij,ik->jk", centered, pts[:, :dx] - m) / (2.0 * (lamda + n_aug))
-    return _ukf_gain_update(m, P, mu_y, S, C, y)
+    return _ukf_gain_update(m, P, mu_y, S, C, y, residual_fn)
 
 
-def _ukf_gain_update(m, P, mu_y, S, C, y):
+def _ukf_gain_update(m, P, mu_y, S, C, y, residual_fn=None):
     """Shared Cholesky gain/likelihood: K = (S⁻¹C)ᵀ.
 
     The covariance downdate uses the Joseph-equivalent grouped form
@@ -168,7 +168,9 @@ def _ukf_gain_update(m, P, mu_y, S, C, y):
     # K S Kᵀ through the factor: (K L)(K L)ᵀ is PSD by construction.
     KL = K @ chol
     posterior_cov = symmetrize(P - KC - KC.T + KL @ KL.T)
-    innov = y - mu_y
+    from bayesianfiltering_tpu.ops.ekf import _residual
+
+    innov = _residual(y, mu_y, residual_fn)
     posterior_mean = m + K @ innov
     z = linv @ innov
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
@@ -195,7 +197,8 @@ def _ut_emission_moments(m, P, h: Callable, R, u, uparams: ParamsUKF, r0):
 
 
 def ukf_condition_on_nonadditive_iterated(
-    m, P, h: Callable, R, u, y, uparams: ParamsUKF, r0, num_iter: int = 1
+    m, P, h: Callable, R, u, y, uparams: ParamsUKF, r0, num_iter: int = 1,
+    residual_fn=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Iterated posterior-linearization UKF update (IPLF).
 
@@ -214,7 +217,9 @@ def ukf_condition_on_nonadditive_iterated(
 
     num_iter = _static_num_iter(num_iter)
     if num_iter <= 1:
-        return ukf_condition_on_nonadditive(m, P, h, R, u, y, uparams, r0)
+        return ukf_condition_on_nonadditive(m, P, h, R, u, y, uparams, r0,
+                                            residual_fn)
+    from bayesianfiltering_tpu.ops.ekf import _residual
     from bayesianfiltering_tpu.utils.linalg import psd_solve
 
     y = jnp.atleast_1d(y)
@@ -235,7 +240,7 @@ def ukf_condition_on_nonadditive_iterated(
         linv = tri_inv_lower(chol)
         hp = H @ P
         K = (linv.T @ (linv @ hp)).T
-        innov = y - mu_y - H @ (m - m_i)
+        innov = _residual(y, mu_y + H @ (m - m_i), residual_fn)
         m_new = m + K @ innov
         A = eye - K @ H
         P_new = symmetrize(A @ P @ A.T + K @ omega @ K.T)

@@ -106,17 +106,21 @@ def sharded_gaussian_sum_filter(
             upd = _bank.bank_ekf_condition_on_iterated(
                 pred_means, pred_covs, h, H_x, H_r, R, r0, u, y, num_iter,
                 jitter,
+                residual_fn=getattr(params, "emission_residual", None),
             )
-            # Max-stabilized reweighting with global collectives: exactly
+            # Log-space reweighting with global collectives: exactly
             # inference._reweight, two scalars over ICI.
-            shift = lax.pmax(jnp.max(upd.log_likelihood), axis_name)
-            unnorm = weights * jnp.exp(upd.log_likelihood - shift)
+            logw = jnp.log(weights) + upd.log_likelihood
+            shift = lax.pmax(jnp.max(logw), axis_name)
+            unnorm = jnp.exp(logw - shift)
             total = lax.psum(jnp.sum(unnorm), axis_name)
             weights = unnorm / total
             step_ll = jnp.log(total) + shift
 
+            # t -> t+1 transition rides u_{t+1} (inference._predict_input)
+            u_next = inputs[jnp.minimum(t + 1, num_timesteps - 1)]
             pred_means, pred_covs, _ = _bank.bank_ekf_predict(
-                upd.mean, upd.cov, f, F_x, F_q, Q, q0, u
+                upd.mean, upd.cov, f, F_x, F_q, Q, q0, u_next
             )
             carry = (weights, pred_means, pred_covs, ll + step_ll)
             outputs = {

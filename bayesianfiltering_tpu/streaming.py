@@ -75,8 +75,18 @@ class EKFState(NamedTuple):
 
 def make_ekf_stepper(params: ParamsNLSSM, num_iter: int = 1,
                      jitter: float = 0.0) -> FilterStepper:
-    """Streaming EKF: carry is (mean, cov, loglik)."""
+    """Streaming EKF: carry is the FILTERED (mean, cov, loglik).
+
+    Predict-then-update order: a streaming step only sees the current
+    input, and the generative model propagates with u_t INTO step t
+    (``x_t = f(x_{t-1}, q, u_t)``, see inference._predict_input) — so the
+    step first predicts the carried t−1 posterior with u_t (skipped at
+    t=0, where the carry is the initial prior), then conditions on y_t.
+    Matches :func:`~bayesianfiltering_tpu.inference.extended_kalman_filter`
+    exactly (tests/test_streaming.py).
+    """
     f, h, F_x, H_x, F_q, H_r = _jacobians(params)
+    residual_fn = getattr(params, "emission_residual", None)
 
     def init(key: PRNGKey = None) -> EKFState:
         return EKFState(params.initial_mean, params.initial_covariance,
@@ -84,13 +94,22 @@ def make_ekf_stepper(params: ParamsNLSSM, num_iter: int = 1,
 
     @with_matmul_precision
     def step(state: EKFState, y, u, t):
-        Q, q0, R, r0 = _slice_noise(params, t)
+        # the filter slices Q at the step that RUNS the t-1 -> t predict
+        Q, q0, _, _ = _slice_noise(params, jnp.maximum(t - 1, 0))
+        _, _, R, r0 = _slice_noise(params, t)
+
+        def do_predict(args):
+            m, P = args
+            m2, P2, _ = _fused.fused_ekf_predict(m, P, f, F_x, F_q, Q, q0, u)
+            return m2, P2
+
+        m_pred, P_pred = lax.cond(t > 0, do_predict, lambda a: a,
+                                  (state.mean, state.cov))
         upd = _fused.fused_ekf_condition_on_iterated(
-            state.mean, state.cov, h, H_x, H_r, R, r0, u, y, num_iter, jitter
+            m_pred, P_pred, h, H_x, H_r, R, r0, u, y, num_iter, jitter,
+            residual_fn=residual_fn,
         )
-        m_next, P_next, _ = _fused.fused_ekf_predict(upd.mean, upd.cov, f, F_x, F_q,
-                                             Q, q0, u)
-        new_state = EKFState(m_next, P_next,
+        new_state = EKFState(upd.mean, upd.cov,
                              state.marginal_loglik + upd.log_likelihood)
         return new_state, {"mean": upd.mean, "cov": upd.cov}
 
@@ -110,7 +129,7 @@ def make_gsf_stepper(params: ParamsNLSSM, num_components: int,
     f, h, F_x, H_x, F_q, H_r = _jacobians(params)
     v_update = vmap(
         _ekf.ekf_condition_on_iterated,
-        in_axes=(0, 0, None, None, None, None, None, None, None, None, None),
+        in_axes=(0, 0) + (None,) * 10,
     )
     v_predict = vmap(_ekf.ekf_predict,
                      in_axes=(0, 0, None, None, None, None, None, None))
@@ -123,12 +142,22 @@ def make_gsf_stepper(params: ParamsNLSSM, num_components: int,
 
     @with_matmul_precision
     def step(state: GSFState, y, u, t):
-        Q, q0, R, r0 = _slice_noise(params, t)
-        upd = v_update(state.means, state.covs, h, H_x, H_r, R, r0, u, y,
-                       num_iter, jitter)
+        # predict-then-update: see make_ekf_stepper docstring
+        Q, q0, _, _ = _slice_noise(params, jnp.maximum(t - 1, 0))
+        _, _, R, r0 = _slice_noise(params, t)
+
+        def do_predict(args):
+            m, P = args
+            m2, P2, _ = v_predict(m, P, f, F_x, F_q, Q, q0, u)
+            return m2, P2
+
+        m_pred, P_pred = lax.cond(t > 0, do_predict, lambda a: a,
+                                  (state.means, state.covs))
+        upd = v_update(m_pred, P_pred, h, H_x, H_r, R, r0, u, y,
+                       num_iter, jitter,
+                       getattr(params, "emission_residual", None))
         weights, step_ll = _reweight(upd.log_likelihood, state.weights)
-        m_next, P_next, _ = v_predict(upd.mean, upd.cov, f, F_x, F_q, Q, q0, u)
-        new_state = GSFState(weights, m_next, P_next,
+        new_state = GSFState(weights, upd.mean, upd.cov,
                              state.marginal_loglik + step_ll)
         outputs = {"weights": weights, "means": upd.mean, "covs": upd.cov}
         return new_state, outputs

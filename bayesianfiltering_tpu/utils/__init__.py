@@ -57,6 +57,10 @@ from bayesianfiltering_tpu.utils.sdp import (
     sdp_opt_legacy,
     sdp_opt_test,
 )
+from bayesianfiltering_tpu.utils.angles import (
+    wrap_angle,
+    angular_residual,
+)
 
 __all__ = [
     # linalg
@@ -75,4 +79,6 @@ __all__ = [
     "resample", "retain", "split_by_sampling",
     # sdp
     "sdp_opt", "sdp_opt2", "gradient_descent", "sdp_opt_legacy", "sdp_opt_test",
+    # angles
+    "wrap_angle", "angular_residual",
 ]

@@ -242,7 +242,10 @@ class TestEKFGolden:
                                        rtol=rtol, atol=atol)
             np.testing.assert_allclose(post.filtered_covariances[t], P,
                                        rtol=rtol, atol=atol)
-            m, P, _ = ref_predict(m, P, f, F_x, F_q, Q, q0, u)
+            # compat pins the reference's misaligned u_t predict; the
+            # default convention predicts with u_{t+1} (PARITY.md round 3)
+            u_pred = u if compat else u_of(min(t + 1, T - 1))
+            m, P, _ = ref_predict(m, P, f, F_x, F_q, Q, q0, u_pred)
         np.testing.assert_allclose(float(post.marginal_loglik), ll_tot,
                                    rtol=1e-5, atol=1e-4)
 
