@@ -317,7 +317,7 @@ def bank_chol_update(m, P, Hx, Rt, innov, jitter=0.0, use_pallas=None):
         return _update_xla(m, P, Hx, Rt, innov, jitter)
     if use_pallas is None:
         use_pallas = _should_use_pallas(m.shape[-1], innov.shape[-1], jitter,
-                                        m, P, Hx, innov)
+                                        m, P, Hx, Rt, innov)
     return _bank_chol_update(m, P, Hx, Rt, innov, float(jitter),
                              bool(use_pallas))
 
@@ -418,7 +418,7 @@ def bank_predict_cov(Fx, P, Fq, Q, use_pallas=None):
     if use_pallas is None:
         use_pallas = (
             _HAS_PALLAS and jax.default_backend() == "tpu"
-            and dx <= 8 and dq <= 8 and not _is_vmapped(Fx, P, Fq)
+            and dx <= 8 and dq <= 8 and not _is_vmapped(Fx, P, Fq, Q)
         )
     return _bank_predict_cov(Fx, P, Fq, Q, bool(use_pallas))
 
@@ -445,7 +445,8 @@ def bank_ekf_predict(ms, Ps, f, F_x, F_q, Q, q0, u, use_pallas=None):
 
 
 def bank_ekf_condition_on_iterated(
-    ms, Ps, h, H_x, H_r, R, r0, u, y, num_iter=1, jitter=0.0, use_pallas=None
+    ms, Ps, h, H_x, H_r, R, r0, u, y, num_iter=1, jitter=0.0, use_pallas=None,
+    residual_fn=None,
 ):
     """Bank (iterated) EKF measurement update: like
     ``vmap(ekf_condition_on_iterated)`` with the linear algebra fused into
@@ -455,6 +456,7 @@ def bank_ekf_condition_on_iterated(
     from bayesianfiltering_tpu.ops.ekf import (
         EKFUpdate,
         _degenerate_update,
+        _residual,
         _static_num_iter,
     )
 
@@ -476,7 +478,7 @@ def bank_ekf_condition_on_iterated(
         # zero at the first iteration where lin == ms.
         yhat = yh if it == 0 else yh + jnp.einsum("mij,mj->mi", Hx, ms - lin)
         Rt = jnp.einsum("mij,jk,mlk->mil", Hr, R, Hr)
-        innov = y[None, :] - yhat
+        innov = _residual(y[None, :], yhat, residual_fn)
         ll, mean, cov, K = bank_chol_update(ms, Ps, Hx, Rt, innov, jitter,
                                             use_pallas)
         lin = mean

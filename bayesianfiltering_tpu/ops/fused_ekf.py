@@ -41,11 +41,16 @@ if _HAS_PALLAS:
 _LOG_2PI = math.log(2.0 * math.pi)
 _REL_JITTER = 1e-6  # keep in sync with ops/ekf.py
 _KERNEL_BASE = 8    # in-kernel blocked-recursion base (see module docstring)
-# Whole-step-in-VMEM works to at least dx=512/dy=256 (P + workspaces ~4 MB
-# of the 16 MB VMEM): measured 1170 steps/s with a 15 s kernel compile on
-# the BASELINE dx=512 Lorenz-96 config — the gated-off XLA path on the
-# round-2 toolchain runs 151 steps/s with a 102 s compile (BENCHLOG.md).
+# Whole-step-in-VMEM works to dx=512 for the predict kernel and the update
+# kernel's state side (P + workspaces ~4 MB of the 16 MB VMEM). The update
+# kernel's FACTORIZATION band is capped separately at dy ≤ 128
+# (_DY_MAX): the in-kernel blocked recursion at dy=256 compiles (~4 min)
+# but its execution HANGS the device (round 3, reproduced twice — the
+# round-2 "1170 steps/s at dy=256" number predates the toolchain bump).
+# Large-dy configs go through the exact sequential chunked update below
+# (ekf_condition_on_chunked), which runs ⌈dy/128⌉ dy≤128 kernels per step.
 _DIM_MAX = 512
+_DY_MAX = 128
 
 
 def _dg(a, b, dims):
@@ -71,7 +76,10 @@ def _update_kernel(dx, dy, jitter, m_ref, p_ref, hx_ref, rt_ref, inn_ref,
     floor = jitter + _REL_JITTER * jnp.max(jnp.abs(S * eye_y))
     S = S + floor * eye_y
 
-    L, Li = _la.chol_and_inv_lower(S, base=_KERNEL_BASE)
+    # force_blocked: Mosaic cannot lower cholesky/triangular_solve at any
+    # size, so the _BLOCK_MAX native dispatch must never fire in-kernel
+    # (dy in (128, 512] hit it after round 2 lowered _BLOCK_MAX to 128).
+    L, Li = _la.chol_and_inv_lower(S, base=_KERNEL_BASE, force_blocked=True)
     Z = _dg(Li, hp, (((1,), (0,)), ((), ())))                # L⁻¹ H P
     W = _dg(Li, Z, (((0,), (0,)), ((), ())))                 # S⁻¹ H P = Kᵀ
     gain_ref[:, :] = W
@@ -181,20 +189,16 @@ def _fp_bwd(use_pallas, res, ct):
 _fused_predict_cov.defvjp(_fp_fwd, _fp_bwd)
 
 
-def _is_vmapped(*xs) -> bool:
-    """True when any input is a vmap BatchTracer at this trace point.
-
-    vmapping a pallas_call adds a grid axis that runs the per-matrix kernel
-    SEQUENTIALLY per batch element — measured 7× slower than the batched XLA
-    blocked factorizations on bench.py's vmap-256 layout. The fused kernels
-    are single-stream specialists; under vmap the XLA path wins.
-    """
-    try:
-        from jax._src.interpreters import batching
-        tracer_cls = batching.BatchTracer
-    except Exception:  # pragma: no cover - jax internals moved
-        return False
-    return any(isinstance(x, tracer_cls) for x in xs)
+# vmap gate: a vmapped pallas_call adds a grid axis that runs the
+# per-matrix kernel SEQUENTIALLY per batch element — measured 7× slower
+# than the batched XLA blocked factorizations on bench.py's vmap-256
+# layout. The fused kernels are single-stream specialists; under vmap the
+# XLA path wins. Shared with the factorization dispatchers; fails CLOSED
+# (tests/test_pallas.py::TestVmapGate pins both directions).
+from bayesianfiltering_tpu.utils.linalg import (  # noqa: E402
+    _batch_tracer_cls,
+    _is_vmapped,
+)
 
 
 def _should_use_pallas(dx: int, dy: int, jitter) -> bool:
@@ -202,13 +206,14 @@ def _should_use_pallas(dx: int, dy: int, jitter) -> bool:
         _HAS_PALLAS
         and jax.default_backend() == "tpu"
         and dx <= _DIM_MAX
-        and dy <= _DIM_MAX
+        and dy <= _DY_MAX
         and isinstance(jitter, (int, float))
     )
 
 
 def fused_ekf_condition_on_iterated(
-    m, P, h, H_x, H_r, R, r0, u, y, num_iter=1, jitter=0.0, use_pallas=None
+    m, P, h, H_x, H_r, R, r0, u, y, num_iter=1, jitter=0.0, use_pallas=None,
+    residual_fn=None,
 ):
     """Single-stream (iterated) EKF measurement update with the linear
     algebra fused into one Pallas kernel per iteration. Drop-in for
@@ -216,6 +221,7 @@ def fused_ekf_condition_on_iterated(
     from bayesianfiltering_tpu.ops.ekf import (
         EKFUpdate,
         _degenerate_update,
+        _residual,
         _static_num_iter,
     )
 
@@ -229,10 +235,10 @@ def fused_ekf_condition_on_iterated(
         from bayesianfiltering_tpu.ops.ekf import ekf_condition_on_iterated
 
         return ekf_condition_on_iterated(m, P, h, H_x, H_r, R, r0, u, y,
-                                         num_iter, jitter)
+                                         num_iter, jitter, residual_fn)
     if use_pallas is None:
         use_pallas = (_should_use_pallas(m.shape[-1], y.shape[-1], jitter)
-                      and not _is_vmapped(m, P, y))
+                      and not _is_vmapped(m, P, R, y))
     jitter = float(jitter)
     lin = m
     out = None
@@ -244,10 +250,91 @@ def fused_ekf_condition_on_iterated(
         if it > 0:
             yhat = yhat + Hx @ (m - lin)
         Rt = Hr @ R @ Hr.T
-        ll, mean, cov, K = _fused_update(m, P, Hx, Rt, y - yhat, jitter,
-                                         bool(use_pallas))
+        ll, mean, cov, K = _fused_update(m, P, Hx, Rt,
+                                         _residual(y, yhat, residual_fn),
+                                         jitter, bool(use_pallas))
         lin = mean
         out = EKFUpdate(ll, mean, cov, Hx, K)
+    return out
+
+
+def fused_ekf_condition_on_chunked(
+    m, P, h, H_x, H_r, R, r0, u, y, chunk=_DY_MAX, num_iter=1, jitter=0.0,
+    use_pallas=None, residual_fn=None,
+):
+    """Sequential (chunked) EKF measurement update for large emission dims.
+
+    Processes the emission vector in ``chunk``-sized blocks, one Kalman
+    update per block — the classical "sequential processing" form. EXACT
+    (same posterior and total log-likelihood as the joint update) whenever
+    the effective emission noise ``Rt = H_r R H_rᵀ`` is block-diagonal
+    w.r.t. the chunking (e.g. diagonal sensor noise, the BASELINE Lorenz-96
+    config); an approximation otherwise — cross-chunk noise correlations
+    are dropped.
+
+    Why it exists: the fused single-stream kernel's in-kernel factorization
+    is verified to dy ≤ 128 (``_DY_MAX``; at dy=256 the Mosaic-compiled
+    blocked recursion hangs the device, round 3), and the XLA fallback at
+    dy=256 native-lowers the factorization into a ~100× slower sequential
+    loop (BENCHLOG.md). Chunking runs ⌈dy/chunk⌉ kernel-sized updates, each
+    in the verified band. Chunk boundaries are static; per-chunk
+    innovations are corrected for the mean motion of earlier chunks
+    (``inn_c −= H_c (m_cur − m_lin)``), so within one linearization the
+    recursion is algebraically the joint update.
+
+    Returns an :class:`~bayesianfiltering_tpu.ops.ekf.EKFUpdate`; the
+    ``gain`` field holds the per-chunk gains concatenated to (dx, dy)
+    (diagnostic — the joint gain of the fused update is not materialized).
+    """
+    from bayesianfiltering_tpu.ops.ekf import (
+        EKFUpdate,
+        _degenerate_update,
+        _residual,
+        _static_num_iter,
+    )
+
+    y = jnp.atleast_1d(y)
+    dy = y.shape[-1]
+    num_iter = _static_num_iter(num_iter)
+    if num_iter <= 0:
+        return _degenerate_update(m, P, y)
+    chunk = int(chunk)
+    bounds = [(lo, min(lo + chunk, dy)) for lo in range(0, dy, chunk)]
+    if use_pallas is None:
+        use_pallas = (_should_use_pallas(m.shape[-1], min(chunk, dy), jitter)
+                      and not _is_vmapped(m, P, R, y))
+    if not isinstance(jitter, (int, float)):
+        use_pallas = False
+    jitter_f = float(jitter) if isinstance(jitter, (int, float)) else jitter
+
+    lin = m
+    out = None
+    for it in range(num_iter):
+        Hx = jnp.reshape(H_x(lin, r0, u), (-1, m.shape[-1]))
+        Hr = jnp.reshape(H_r(lin, r0, u), (Hx.shape[0], -1))
+        yhat = jnp.atleast_1d(h(lin, r0, u))
+        if it > 0:
+            yhat = yhat + Hx @ (m - lin)
+        Rt = Hr @ R @ Hr.T
+        innov_full = _residual(y, yhat, residual_fn)
+        ll_total = jnp.zeros(())
+        cur_m, cur_P = m, P
+        gains = []
+        for lo, hi in bounds:
+            Hc = Hx[lo:hi]
+            Rc = Rt[lo:hi, lo:hi]
+            inn = innov_full[lo:hi] - Hc @ (cur_m - m)
+            if isinstance(jitter, (int, float)):
+                ll, cur_m, cur_P, K = _fused_update(
+                    cur_m, cur_P, Hc, Rc, inn, jitter_f, bool(use_pallas))
+            else:
+                ll, cur_m, cur_P, K = _update_xla(cur_m, cur_P, Hc, Rc, inn,
+                                                  jitter)
+            ll_total = ll_total + ll
+            gains.append(K)
+        lin = cur_m
+        out = EKFUpdate(ll_total, cur_m, cur_P, Hx,
+                        jnp.concatenate(gains, axis=-1))
     return out
 
 
@@ -261,10 +348,14 @@ def fused_ekf_predict(m, P, f, F_x, F_q, Q, q0, u, use_pallas=None):
         use_pallas = (
             _HAS_PALLAS and jax.default_backend() == "tpu"
             and P.shape[-1] <= _DIM_MAX and Fq.shape[-1] <= _DIM_MAX
-            and not _is_vmapped(m, P)
+            and not _is_vmapped(m, P, Q)
         )
     Sigma = _fused_predict_cov(Fx, P, Fq, Q, bool(use_pallas))
     return mu, Sigma, Fx
 
 
-__all__ = ["fused_ekf_condition_on_iterated", "fused_ekf_predict"]
+__all__ = [
+    "fused_ekf_condition_on_iterated",
+    "fused_ekf_condition_on_chunked",
+    "fused_ekf_predict",
+]

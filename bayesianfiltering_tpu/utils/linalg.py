@@ -173,6 +173,55 @@ def cholesky_guarded(p: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 _HI = jax.lax.Precision.HIGHEST
+
+
+def _batch_tracer_cls():
+    """Resolve jax's vmap tracer class (isolated so tests can simulate the
+    internals moving and pin the fail-closed behavior of _is_vmapped)."""
+    from jax._src.interpreters import batching
+
+    return batching.BatchTracer
+
+
+def _is_vmapped(*xs) -> bool:
+    """True when any input is a vmap BatchTracer at this trace point.
+
+    Used by the factorization dispatchers below and by the Pallas kernel
+    gates (ops/fused_ekf.py): a 2-D array inside ``vmap`` is REALLY a
+    batched bank, and batched work wants the blocked matmul recursions /
+    must not enter a pallas_call (sequential grid). Fails CLOSED (reports
+    vmapped) if the jax-internal import ever moves — the batched-style
+    path is always correct, merely slower single-stream.
+    """
+    try:
+        tracer_cls = _batch_tracer_cls()
+    except Exception:
+        return True
+    return any(isinstance(x, tracer_cls) for x in xs)
+
+
+def _effectively_unbatched(x: jax.Array) -> bool:
+    """A CONCRETE single (n, n) matrix — a parameter-style constant, not
+    anything flowing through a traced computation.
+
+    The blocked recursions pay off BATCHED (log-depth batched matmuls vs
+    TPU's loop-lowered native linalg, ~1 ms per (256,32,32) factorization);
+    UNBATCHED above the unrolled base they are strictly worse than the
+    native lowering — minutes of compile and ~600× the runtime (round-2
+    toolchain, BENCHLOG.md) — e.g. the one-off chol(Q) of a model constant
+    in mvn_sample at dx=64.
+
+    ONLY concrete (non-tracer) values qualify: a 2-D tracer inside a scan
+    body is usually a vmapped bank member whose batch axis appears after
+    body tracing (vmap batches the scan primitive), and dispatching it to
+    the native lowering re-creates the ~1 ms/step in-scan factorization
+    this module exists to avoid (measured: bench.py 757k -> 216k when this
+    predicate briefly trusted `ndim`+BatchTracer checks, round 3).
+    """
+    return (
+        getattr(x, "ndim", 0) == 2
+        and not isinstance(x, jax.core.Tracer)
+    )
 # Unrolled-base size for the blocked recursions. Measured on v5e (EKF dx=64
 # batched headline): base 4 → 581k, 8 → 655k, 16 → 696k, 24 → 701k,
 # 32 → 358k timestep-equiv/s with a 441 s compile (the n² unrolled lattice
@@ -243,10 +292,11 @@ def _next_pow2(n: int) -> int:
 def tri_inv_lower(L: jax.Array) -> jax.Array:
     """Inverse of a lower-triangular matrix via blocked recursion
     (batched matmuls): inv([[A,0],[C,D]]) = [[A⁻¹,0],[−D⁻¹ C A⁻¹, D⁻¹]].
-    Above ``_BLOCK_MAX`` the native TriangularSolve lowering wins (same
-    dispatch rationale as :func:`fast_cholesky`)."""
+    Above ``_BLOCK_MAX`` — or genuinely unbatched above the unrolled base —
+    the native TriangularSolve lowering wins (same dispatch rationale as
+    :func:`fast_cholesky`)."""
     n = L.shape[-1]
-    if n > _BLOCK_MAX:
+    if n > _BLOCK_MAX or (n > _BLOCK_BASE and _effectively_unbatched(L)):
         eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
         return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
     if n <= _BLOCK_BASE:
@@ -302,7 +352,8 @@ def cholesky_blocked(S: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def chol_and_inv_lower(S: jax.Array, base: int = None):
+def chol_and_inv_lower(S: jax.Array, base: int = None,
+                       force_blocked: bool = False):
     """Fused ``(L, L⁻¹)`` for PSD ``S`` in one blocked recursion.
 
     ``cholesky_blocked`` followed by ``tri_inv_lower`` re-inverts every
@@ -313,15 +364,22 @@ def chol_and_inv_lower(S: jax.Array, base: int = None):
     elementwise statements than the two separate recursions, which matters
     inside Pallas kernels where every statement is an op
     (ops/fused_ekf.py).
+
+    ``force_blocked=True`` skips the ``_BLOCK_MAX`` native-lowering dispatch
+    and always uses the matmul recursion — required inside Pallas kernels,
+    where Mosaic cannot lower ``cholesky``/``triangular_solve`` at any size.
     """
     if base is None:
         base = _BLOCK_BASE
     n = S.shape[-1]
-    if n > _BLOCK_MAX:
-        # LAPACK-style lowering wins beyond the blocked regime, same
-        # dispatch as fast_cholesky/tri_inv_lower.
+    if not force_blocked and (
+        n > _BLOCK_MAX or (n > base and _effectively_unbatched(S))
+    ):
+        # Native lowering wins beyond the blocked regime AND for genuinely
+        # unbatched matrices, same dispatch as fast_cholesky/tri_inv_lower.
         L = jnp.linalg.cholesky(S)
-        return L, tri_inv_lower(L)
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+        return L, jax.scipy.linalg.solve_triangular(L, eye, lower=True)
     if n <= base:
         L = _chol_unrolled(S)
         return L, _tri_inv_unrolled(L)
@@ -339,16 +397,16 @@ def chol_and_inv_lower(S: jax.Array, base: int = None):
             jnp.concatenate([S, z_right], axis=-1),
             jnp.concatenate([z_left, eye_blk], axis=-1),
         ], axis=-2)
-        L, Li = chol_and_inv_lower(Sp, base)
+        L, Li = chol_and_inv_lower(Sp, base, force_blocked)
         return L[..., :n, :n], Li[..., :n, :n]
     h = n // 2
     A = S[..., :h, :h]
     B = S[..., h:, :h]
     C = S[..., h:, h:]
-    LA, LAi = chol_and_inv_lower(A, base)
+    LA, LAi = chol_and_inv_lower(A, base, force_blocked)
     LB = jnp.matmul(B, jnp.swapaxes(LAi, -1, -2), precision=_HI)
     schur = C - jnp.matmul(LB, jnp.swapaxes(LB, -1, -2), precision=_HI)
-    LC, LCi = chol_and_inv_lower(symmetrize(schur), base)
+    LC, LCi = chol_and_inv_lower(symmetrize(schur), base, force_blocked)
     ll_inv = -jnp.matmul(LCi, jnp.matmul(LB, LAi, precision=_HI),
                          precision=_HI)
     z = jnp.zeros(A.shape[:-2] + (h, n - h), S.dtype)
@@ -364,9 +422,12 @@ def chol_and_inv_lower(S: jax.Array, base: int = None):
 
 
 def fast_cholesky(S: jax.Array) -> jax.Array:
-    """Cholesky dispatcher: blocked matmul recursion for the small matrices
-    filters live on, LAPACK-style lowering beyond ``_BLOCK_MAX``."""
-    if S.shape[-1] <= _BLOCK_MAX:
+    """Cholesky dispatcher: blocked matmul recursion for batched small
+    matrices (the layout filters live on), native lowering beyond
+    ``_BLOCK_MAX`` — and for genuinely UNBATCHED matrices above the
+    unrolled base (see :func:`_effectively_unbatched`)."""
+    n = S.shape[-1]
+    if n <= _BLOCK_MAX and not (n > _BLOCK_BASE and _effectively_unbatched(S)):
         return cholesky_blocked(S)
     return jnp.linalg.cholesky(S)
 

@@ -260,3 +260,63 @@ class TestFusedSingleStream:
 
         g = jax.grad(loss)(P)
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestVmapGate:
+    """Pins the vmap gate that keeps the fused single-stream kernels OFF
+    under batching (the measured 7× cliff, BENCHLOG.md round 2)."""
+
+    def test_is_vmapped_detects_batch_tracer(self):
+        from bayesianfiltering_tpu.ops import fused_ekf as fe
+
+        seen = []
+
+        def probe(x):
+            seen.append(fe._is_vmapped(x))
+            return x
+
+        probe(jnp.ones(3))
+        jax.vmap(probe)(jnp.ones((4, 3)))
+        assert seen == [False, True]
+
+    def test_is_vmapped_any_operand(self):
+        # Batching only the noise operand must still trip the gate
+        # (ADVICE round 2: Rt/Q were omitted from the checked arrays).
+        from bayesianfiltering_tpu.ops import fused_ekf as fe
+
+        seen = []
+
+        def probe(rt):
+            seen.append(fe._is_vmapped(jnp.ones(3), rt))
+            return rt
+
+        jax.vmap(probe)(jnp.ones((4, 2, 2)))
+        assert seen == [True]
+
+    def test_is_vmapped_fails_closed(self, monkeypatch):
+        # If the jax-internal import ever moves, the gate must report
+        # "vmapped" (disable pallas) rather than silently re-enable the
+        # sequential-grid pathology.
+        from bayesianfiltering_tpu.utils import linalg as la
+
+        def boom():
+            raise ImportError("jax internals moved")
+
+        monkeypatch.setattr(la, "_batch_tracer_cls", boom)
+        assert la._is_vmapped(jnp.ones(3)) is True
+
+    def test_filter_gate_disables_under_vmap(self):
+        from bayesianfiltering_tpu import inference as gf
+        from bayesianfiltering_tpu.models import zoo
+
+        _, params, _ = zoo.scalar_growth()
+        gates = []
+
+        def probe(emissions):
+            gates.append(gf._filter_vmap_gate(params, emissions, None))
+            return emissions
+
+        probe(jnp.ones((5, 1)))
+        jax.vmap(probe)(jnp.ones((3, 5, 1)))
+        # unbatched → None (defer to size heuristics); batched → False (off)
+        assert gates == [None, False]
