@@ -15,13 +15,20 @@ answer to SURVEY.md §5.7.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax, vmap
 
 from bayesianfiltering_tpu.config import with_matmul_precision
 from bayesianfiltering_tpu.ops.linear import ParamsLGSSM, PosteriorKalman, _biases
-from bayesianfiltering_tpu.utils.linalg import psd_solve, symmetrize
+from bayesianfiltering_tpu.utils.linalg import (
+    chol_and_inv_lower,
+    psd_solve,
+    sqrtm_psd_ns,
+    symmetrize,
+)
 
 
 def _first_element(params: ParamsLGSSM, y0):
@@ -60,35 +67,70 @@ def _generic_element(params: ParamsLGSSM, y):
     return A, b, C, J, eta
 
 
-def _combine(elem_left, elem_right):
+def _minv_woodbury(C1, J2):
+    """Batched ``inv(I + C1 J2)`` for PSD ``C1``, ``J2`` without a general
+    linear solve.
+
+    With the symmetric root ``V = J2^{1/2}`` (Newton–Schulz — matmuls
+    only, handles singular J2), Woodbury gives
+    ``inv(I + C1 V V) = I − C1 V inv(I + V C1 V) V`` where the inner
+    matrix is symmetric PD (⪰ I) — so the whole inverse is batched
+    matmuls + one blocked Cholesky, instead of TPU's loop-lowered native
+    LU (the repo's standard in-scan-factorization lesson, BENCHLOG.md).
+    """
+    dx = C1.shape[-1]
+    I = jnp.eye(dx, dtype=C1.dtype)
+    V = sqrtm_psd_ns(J2)
+    B = C1 @ V
+    inner = I + symmetrize(V @ B)
+    _, linv = chol_and_inv_lower(inner)
+    inner_inv = jnp.swapaxes(linv, -1, -2) @ linv
+    return I - B @ inner_inv @ V
+
+
+def _combine(elem_left, elem_right, solver: str = "woodbury"):
     """Associative combination of filtering elements (Särkkä & G-F, Lemma 8)."""
     A1, b1, C1, J1, eta1 = elem_left
     A2, b2, C2, J2, eta2 = elem_right
     dx = A1.shape[-1]
     I = jnp.eye(dx, dtype=A1.dtype)
 
-    # (I + C1 J2)^{-1} applied from the right/left via linear solves.
-    M = I + C1 @ J2
-    A2M = jnp.swapaxes(jnp.linalg.solve(jnp.swapaxes(M, -1, -2),
-                                        jnp.swapaxes(A2, -1, -2)), -1, -2)
+    # (I + C1 J2)^{-1}, applied right (M) and left (N = Mᵀ).
+    if solver == "woodbury":
+        Minv = _minv_woodbury(C1, J2)
+        A2M = A2 @ Minv
+        Ninv = jnp.swapaxes(Minv, -1, -2)       # inv(I + J2 C1) = inv(M)ᵀ
+        nsolve = lambda x: Ninv @ x
+    else:
+        M = I + C1 @ J2
+        A2M = jnp.swapaxes(jnp.linalg.solve(jnp.swapaxes(M, -1, -2),
+                                            jnp.swapaxes(A2, -1, -2)), -1, -2)
+        N = I + J2 @ C1
+        nsolve = lambda x: jnp.linalg.solve(N, x)
     A = A2M @ A1
     b = A2M @ (b1 + jnp.einsum("...ij,...j->...i", C1, eta2))[..., None]
     b = b[..., 0] + b2
     C = symmetrize(A2M @ C1 @ jnp.swapaxes(A2, -1, -2) + C2)
 
-    N = I + J2 @ C1
-    tmp = jnp.linalg.solve(N, (eta2 - jnp.einsum("...ij,...j->...i", J2, b1))[..., None])[..., 0]
+    tmp = nsolve((eta2 - jnp.einsum("...ij,...j->...i", J2, b1))[..., None])[..., 0]
     eta = jnp.einsum("...ji,...j->...i", A1, tmp) + eta1
-    JA = jnp.linalg.solve(N, J2 @ A1)
+    JA = nsolve(J2 @ A1)
     J = symmetrize(jnp.swapaxes(A1, -1, -2) @ JA + J1)
     return A, b, C, J, eta
 
 
 @with_matmul_precision
-def parallel_kalman_filter(params: ParamsLGSSM, emissions: jax.Array) -> PosteriorKalman:
+def parallel_kalman_filter(params: ParamsLGSSM, emissions: jax.Array,
+                           solver: str = "woodbury") -> PosteriorKalman:
     """Log-depth Kalman filter; matches :func:`kalman_filter` outputs
     (filtered means/covariances; predicted moments derived by one extra
-    propagation; marginal loglik from the innovation form)."""
+    propagation; marginal loglik from the innovation form).
+
+    ``solver``: "woodbury" (default) runs each combine's inverses as
+    batched matmuls + blocked Cholesky (see :func:`_minv_woodbury`);
+    "native" uses ``jnp.linalg.solve`` (loop-lowered on TPU; reference
+    semantics for accuracy comparisons).
+    """
     F, Q = params.dynamics_matrix, params.dynamics_covariance
     c, _ = _biases(params)
 
@@ -98,7 +140,9 @@ def parallel_kalman_filter(params: ParamsLGSSM, emissions: jax.Array) -> Posteri
         jnp.concatenate([f[None], r], axis=0) for f, r in zip(first, rest)
     )
 
-    _, b_all, C_all, _, _ = lax.associative_scan(_combine, elems)
+    _, b_all, C_all, _, _ = lax.associative_scan(
+        functools.partial(_combine, solver=solver), elems
+    )
     filtered_means = b_all
     filtered_covs = C_all
 
@@ -110,6 +154,60 @@ def parallel_kalman_filter(params: ParamsLGSSM, emissions: jax.Array) -> Posteri
     ll = _marginal_loglik(params, emissions, filtered_means, filtered_covs)
     return PosteriorKalman(ll, filtered_means, filtered_covs,
                            predicted_means, predicted_covs)
+
+
+def _smoother_combine(elem_earlier, elem_later):
+    """Associative combination of RTS smoothing elements
+    (Särkkä & G-F, Lemma 10): pure matmuls — no solves, so every combine
+    stage is MXU-batched across the time axis.
+
+    ``x_t | x_s ~ N(E x_s + g, L)`` composed over earlier ∘ later."""
+    E1, g1, L1 = elem_earlier
+    E2, g2, L2 = elem_later
+    E = E1 @ E2
+    g = jnp.einsum("...ij,...j->...i", E1, g2) + g1
+    L = symmetrize(E1 @ L2 @ jnp.swapaxes(E1, -1, -2) + L1)
+    return E, g, L
+
+
+@with_matmul_precision
+def parallel_kalman_smoother(params: ParamsLGSSM, emissions: jax.Array,
+                             solver: str = "woodbury") -> PosteriorKalman:
+    """Log-depth RTS smoother (Särkkä & García-Fernández 2021, §IV).
+
+    Forward pass = :func:`parallel_kalman_filter` (log-depth); backward
+    pass phrases the RTS recursion as affine elements
+    ``x_t | x_{t+1} ~ N(E_t x_{t+1} + g_t, L_t)`` with ``E_t`` the classic
+    smoothing gain, combined by a REVERSE ``lax.associative_scan`` — also
+    log-depth, and its combine is solve-free. Matches
+    :func:`bayesianfiltering_tpu.ops.linear.kalman_smoother` exactly
+    (tested to 1e-4 at T=200).
+    """
+    post = parallel_kalman_filter(params, emissions, solver)
+    F = params.dynamics_matrix
+    c, _ = _biases(params)
+    fm, fP = post.filtered_means, post.filtered_covariances
+    pm, pP = post.predicted_means, post.predicted_covariances
+
+    # Elements for t < T-1: G_t = P^f_t Fᵀ (P^p_{t+1|t})⁻¹ (batched blocked
+    # PSD solve), g_t = m^f_t − G_t m^p_{t+1|t}, L_t = P^f_t − G_t P^p G_tᵀ.
+    G = vmap(lambda Pf, Pp: psd_solve(Pp, F @ Pf).T)(fP[:-1], pP[:-1])
+    g = fm[:-1] - jnp.einsum("tij,tj->ti", G, pm[:-1])
+    L = symmetrize(fP[:-1] - jnp.einsum("tij,tjk,tlk->til", G, pP[:-1], G))
+    # Last element: the smoothed marginal at T-1 IS the filtered one.
+    E_last = jnp.zeros_like(fP[:1])
+    elems = (
+        jnp.concatenate([G, E_last], axis=0),
+        jnp.concatenate([g, fm[-1:]], axis=0),
+        jnp.concatenate([L, fP[-1:]], axis=0),
+    )
+    # reverse=True flips, scans, flips back — so the scan's LEFT operand is
+    # the LATER-time partial product; swap the roles for the time-ordered
+    # operator above.
+    _, sm, sP = lax.associative_scan(
+        lambda a, b: _smoother_combine(b, a), elems, reverse=True
+    )
+    return post._replace(smoothed_means=sm, smoothed_covariances=sP)
 
 
 def _marginal_loglik(params, emissions, filtered_means, filtered_covs):
@@ -131,4 +229,4 @@ def _marginal_loglik(params, emissions, filtered_means, filtered_covs):
     return jnp.sum(mvn_logpdf(emissions, yhat, S))
 
 
-__all__ = ["parallel_kalman_filter"]
+__all__ = ["parallel_kalman_filter", "parallel_kalman_smoother"]

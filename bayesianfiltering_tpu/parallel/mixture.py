@@ -177,4 +177,206 @@ def sharded_gaussian_sum_filter(
     )
 
 
-__all__ = ["sharded_gaussian_sum_filter"]
+def sharded_agsf(
+    params: ParamsNLSSM,
+    emissions: jax.Array,
+    num_components,
+    mesh: Mesh,
+    key: PRNGKey = None,
+    num_iter: int = 1,
+    opt_args=(0.1, 0.1),
+    inputs: Optional[jax.Array] = None,
+    axis_name: str = "mixture",
+    moments: str = "ekf",
+    uparams=None,
+    reduction: str = "systematic",
+    autocov: str = "prop",
+    jitter: float = 0.0,
+):
+    """Augmented Gaussian-sum filter with the mixture sharded over ``mesh``.
+
+    The flagship M·N·L split→predict→split→update→reduce pipeline of
+    :func:`bayesianfiltering_tpu.inference.augmented_gaussian_sum_filter`
+    (ref: gaussfiltax/inference.py:621-812 being the pipeline sharded),
+    with each device carrying M/n_dev components and branching them to
+    M·N·L/n_dev locally. Cross-device traffic per step:
+
+    * weight normalization — two scalars (``pmax`` + ``psum``) over ICI;
+    * the M→M reduction — one ``all_gather`` of the updated bank
+      (M·N·L·(dx²+dx+1) floats; a few KB at AGSF bank sizes), after which
+      every device runs the identical deterministic reduction and keeps
+      its M/n_dev slice.
+
+    Bit-equal to the single-device engine for the same ``key``: the split
+    noise is drawn from the global per-step key and sliced by device index,
+    and the gathered reduction re-runs the exact same resampler. Aux
+    outputs (Deltas/Lambdas/grads) are not returned by the sharded variant.
+    """
+    import bayesianfiltering_tpu.inference as gf
+    from bayesianfiltering_tpu import containers
+    from bayesianfiltering_tpu.ops import ukf as _ukf
+    from bayesianfiltering_tpu.utils.linalg import cholesky_guarded
+    from jax import jacrev, vmap
+
+    if key is None:
+        key = jr.PRNGKey(0)
+    M, N, L = (int(num_components[0]), int(num_components[1]),
+               int(num_components[2]))
+    num_timesteps = len(emissions)
+    n_dev = mesh.shape[axis_name]
+    if M % n_dev != 0:
+        raise ValueError(
+            f"num_components[0]={M} not divisible by mesh axis "
+            f"{axis_name}={n_dev}"
+        )
+    Ml = M // n_dev
+    f, h, F_x, H_x, F_q, H_r = gf._jacobians(params)
+    F_xx, H_xx = jacrev(F_x), jacrev(H_x)
+    inputs = gf._process_input(inputs, num_timesteps)
+    alpha0, alpha1 = opt_args
+    init_key, scan_key = jr.split(key)
+    w0, m0, P0 = gf._init_mixture(params, M, init_key)
+    dx = m0.shape[-1]
+    use_ekf = moments == "ekf"
+    residual_fn = getattr(params, "emission_residual", None)
+
+    def _local_split(key_split, n_total, means, covs, split_covs, weights,
+                     n_splits, dev):
+        # Global split noise, sliced to this device's components so the
+        # sharded draw equals the single-device containers.split_gaussian_sum.
+        n_local = means.shape[0]
+        eps = jr.normal(key_split, (n_total, n_splits, dx),
+                        dtype=means.dtype)
+        eps = lax.dynamic_slice_in_dim(eps, dev * n_local, n_local)
+        chol = cholesky_guarded(covs - split_covs)
+        child_means = means[:, None, :] + jnp.einsum("mij,mnj->mni", chol, eps)
+        child_means = jnp.reshape(child_means, (n_local * n_splits, dx))
+        child_covs = jnp.reshape(
+            jnp.broadcast_to(split_covs[:, None],
+                             (n_local, n_splits, dx, dx)),
+            (n_local * n_splits, dx, dx),
+        )
+        child_weights = jnp.reshape(
+            jnp.broadcast_to((weights / n_splits)[:, None],
+                             (n_local, n_splits)),
+            (n_local * n_splits,),
+        )
+        return child_means, child_covs, child_weights
+
+    @with_matmul_precision
+    def local_filter(emissions, inputs, weights, means, covs, noise):
+        Qa, q0a, Ra, r0a = noise
+        dev = lax.axis_index(axis_name)
+
+        def step(carry, t):
+            mloc, Ploc, wloc = carry
+            Q = gf._get_params(Qa, 2, t)
+            q0 = gf._get_params(q0a, 1, t)
+            R = gf._get_params(Ra, 2, t)
+            r0 = gf._get_params(r0a, 1, t)
+            u, y = inputs[t], emissions[t]
+            key_t = jr.fold_in(scan_key, t)
+            key_split1, key_split2, key_reduce = jr.split(key_t, 3)
+
+            # -- autocov 1 + local branch: M/n -> M*N/n ----------------
+            deltas = gf._select_split_cov(
+                autocov, alpha0, mloc, Ploc, F_x, F_xx, N, q0, u
+            )
+            sm, sP, sw = _local_split(key_split1, M, mloc, Ploc, deltas,
+                                      wloc, N, dev)
+
+            # -- predict (local bank) ----------------------------------
+            if use_ekf:
+                pm, pP, _ = _bank.bank_ekf_predict(sm, sP, f, F_x, F_q, Q,
+                                                   q0, u)
+            else:
+                pm, pP = vmap(
+                    _ukf.ukf_predict_nonadditive,
+                    in_axes=(0, 0, None, None, None, None, None),
+                )(sm, sP, f, u, Q, uparams, q0)
+
+            # -- autocov 2 + local branch: M*N/n -> M*N*L/n ------------
+            lambdas = gf._select_split_cov(
+                autocov, alpha1, pm, pP, H_x, H_xx, L, r0, u
+            )
+            um, uP, uw = _local_split(key_split2, M * N, pm, pP, lambdas,
+                                      sw, L, dev)
+
+            # -- update (local bank) -----------------------------------
+            if use_ekf:
+                upd = _bank.bank_ekf_condition_on_iterated(
+                    um, uP, h, H_x, H_r, R, r0, u, y, num_iter, jitter,
+                    residual_fn=residual_fn,
+                )
+                lls, fm, fP = upd.log_likelihood, upd.mean, upd.cov
+            else:
+                lls, fm, fP = vmap(
+                    _ukf.ukf_condition_on_nonadditive_iterated,
+                    in_axes=(0, 0) + (None,) * 8,
+                )(um, uP, h, R, u, y, uparams, r0, num_iter, residual_fn)
+
+            # -- global log-space reweight (two scalars over ICI) ------
+            logw = jnp.log(uw) + lls
+            shift = lax.pmax(jnp.max(logw), axis_name)
+            unnorm = jnp.exp(logw - shift)
+            total = lax.psum(jnp.sum(unnorm), axis_name)
+            new_w = unnorm / total
+            step_ll = jnp.log(total) + shift
+
+            # -- reduce M*N*L -> M: gather, identical global reduction -
+            g_m = jnp.reshape(lax.all_gather(fm, axis_name), (-1, dx))
+            g_P = jnp.reshape(lax.all_gather(fP, axis_name), (-1, dx, dx))
+            g_w = jnp.reshape(lax.all_gather(new_w, axis_name), (-1,))
+            reduced = containers.reduce_gaussian_sum(
+                containers.GaussianSum(g_m, g_P, g_w), M, key_reduce,
+                reduction,
+            )
+            mloc = lax.dynamic_slice_in_dim(reduced.means, dev * Ml, Ml)
+            Ploc = lax.dynamic_slice_in_dim(reduced.covariances, dev * Ml,
+                                            Ml)
+            wloc = lax.dynamic_slice_in_dim(reduced.weights, dev * Ml, Ml)
+
+            outputs = {"weights": wloc, "means": mloc, "covariances": Ploc}
+            return (mloc, Ploc, wloc), (outputs, step_ll)
+
+        init = (means, covs, weights)
+        _, (outputs, step_lls) = lax.scan(step, init,
+                                          jnp.arange(num_timesteps))
+        outputs = gf.swap_axes_on_values(outputs)
+        return outputs, jnp.sum(step_lls)
+
+    spec_bank = P(axis_name)
+    cache_key = (
+        "agsf", params.dynamics_function, params.emission_function,
+        getattr(params, "dynamics_jacobian_x", None),
+        getattr(params, "dynamics_jacobian_q", None),
+        getattr(params, "emission_jacobian_x", None),
+        getattr(params, "emission_jacobian_r", None),
+        residual_fn, mesh, axis_name, M, N, L, int(num_iter), float(jitter),
+        moments, uparams, reduction, autocov, float(alpha0), float(alpha1),
+        num_timesteps, emissions.shape, inputs.shape,
+    )
+    jitted = _JIT_CACHE.get(cache_key)
+    if jitted is None:
+        shmapped = _shard_map(
+            local_filter,
+            mesh=mesh,
+            in_specs=(P(), P(), spec_bank, spec_bank, spec_bank, P()),
+            out_specs=(
+                {"means": spec_bank, "covariances": spec_bank,
+                 "weights": spec_bank},
+                P(),
+            ),
+            check_vma=False,
+        )
+        jitted = jax.jit(shmapped)
+        _cache_put(cache_key, jitted)
+    noise = (params.dynamics_noise_covariance, params.dynamics_noise_bias,
+             params.emission_noise_covariance, params.emission_noise_bias)
+    outputs, marginal_ll = jitted(emissions, inputs, w0, m0, P0, noise)
+    return gf.PosteriorGaussianSumFiltered(
+        marginal_loglik=marginal_ll, **outputs
+    )
+
+
+__all__ = ["sharded_gaussian_sum_filter", "sharded_agsf"]

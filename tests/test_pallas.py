@@ -30,46 +30,6 @@ class TestBankLayout:
         np.testing.assert_array_equal(a, back)
 
 
-class TestBankKernels:
-    @pytest.mark.parametrize("m,d", [(128, 2), (130, 4), (256, 8)])
-    def test_bank_matmul_matches_einsum(self, m, d):
-        a = jr.normal(jr.PRNGKey(1), (m, d, d))
-        b = jr.normal(jr.PRNGKey(2), (m, d, d))
-        out = _interpret(pk.bank_matmul, a, b)
-        np.testing.assert_allclose(out, jnp.einsum("mik,mkj->mij", a, b),
-                                   rtol=1e-4, atol=1e-4)
-
-    @pytest.mark.parametrize("m,d", [(128, 2), (200, 4)])
-    def test_bank_sandwich_matches_einsum(self, m, d):
-        f = jr.normal(jr.PRNGKey(3), (m, d, d))
-        p = _random_psd_bank(jr.PRNGKey(4), m, d)
-        out = _interpret(pk.bank_sandwich, f, p)
-        np.testing.assert_allclose(out, jnp.einsum("mik,mkl,mjl->mij", f, p, f),
-                                   rtol=1e-3, atol=1e-3)
-
-    @pytest.mark.parametrize("m,d", [(128, 2), (192, 4)])
-    def test_bank_cholesky_matches_lapack(self, m, d):
-        p = _random_psd_bank(jr.PRNGKey(5), m, d)
-        out = _interpret(pk.bank_cholesky, p)
-        np.testing.assert_allclose(out, jnp.linalg.cholesky(p), rtol=1e-3,
-                                   atol=1e-3)
-
-    def test_padding_path(self):
-        # m not a multiple of 128 exercises the pad/identity-fill logic
-        m, d = 150, 4
-        p = _random_psd_bank(jr.PRNGKey(6), m, d)
-        out = _interpret(pk.bank_cholesky, p)
-        assert out.shape == (m, d, d)
-        assert bool(jnp.all(jnp.isfinite(out)))
-
-    def test_fallback_without_pallas(self):
-        a = jr.normal(jr.PRNGKey(7), (64, 4, 4))
-        b = jr.normal(jr.PRNGKey(8), (64, 4, 4))
-        out = pk.bank_matmul(a, b, use_pallas=False)
-        np.testing.assert_allclose(out, jnp.einsum("mik,mkj->mij", a, b),
-                                   rtol=1e-5)
-
-
 class TestFusedBankUpdate:
     """ops/bank_update.py: the fused EKF update/predict kernels vs the
     vmapped ops/ekf.py primitives (interpret mode on CPU)."""

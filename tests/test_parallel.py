@@ -190,6 +190,56 @@ class TestShardedGSF:
             sharded_gaussian_sum_filter(params, emissions, 12, mesh,
                                         inputs=inputs)
 
+    def test_sharded_agsf_matches_single_device(self):
+        """The mixture-sharded flagship AGSF must reproduce the
+        single-device engine exactly (same keys: sliced global split noise,
+        gathered identical reduction)."""
+        from bayesianfiltering_tpu.parallel import make_mesh
+        from bayesianfiltering_tpu.parallel.mixture import sharded_agsf
+
+        mesh = make_mesh((8,), ("mixture",))
+        model, params, _ = zoo.bearings_only_tracking()
+        T = 12
+        inputs = zoo.bot_maneuver_inputs(T)
+        _, emissions = model.sample(params, jr.PRNGKey(0), T, inputs=inputs)
+        ref, _ = gf.augmented_gaussian_sum_filter(
+            params, emissions, [16, 2, 2], jr.PRNGKey(5), 1, (0.1, 0.1),
+            inputs, reduction="systematic",
+        )
+        out = sharded_agsf(params, emissions, [16, 2, 2], mesh,
+                           key=jr.PRNGKey(5), opt_args=(0.1, 0.1),
+                           inputs=inputs, reduction="systematic")
+        np.testing.assert_allclose(out.weights, ref.weights, rtol=2e-4,
+                                   atol=2e-5)
+        np.testing.assert_allclose(out.means, ref.means, rtol=2e-4,
+                                   atol=2e-4)
+        np.testing.assert_allclose(out.covariances, ref.covariances,
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(out.marginal_loglik, ref.marginal_loglik,
+                                   rtol=1e-4)
+
+    def test_sharded_unscented_agsf_runs(self):
+        from bayesianfiltering_tpu.ops import ParamsUKF
+        from bayesianfiltering_tpu.parallel import make_mesh
+        from bayesianfiltering_tpu.parallel.mixture import sharded_agsf
+
+        mesh = make_mesh((4,), ("mixture",))
+        model, params, _ = zoo.stochastic_volatility()
+        T = 8
+        inputs = jnp.array([0] * 4 + [1] * 4)
+        _, emissions = model.sample(params, jr.PRNGKey(0), T, inputs=inputs)
+        up = ParamsUKF(alpha=1.0)
+        ref, _ = gf.unscented_agsf(
+            params, up, emissions, [4, 2, 2], jr.PRNGKey(3), 1, (0.1, 0.1),
+            inputs, reduction="systematic",
+        )
+        out = sharded_agsf(params, emissions, [4, 2, 2], mesh,
+                           key=jr.PRNGKey(3), opt_args=(0.1, 0.1),
+                           inputs=inputs, moments="ukf", uparams=up,
+                           reduction="systematic")
+        np.testing.assert_allclose(out.means, ref.means, rtol=5e-4,
+                                   atol=5e-4)
+
     def test_weak_scaling_device_counts(self):
         """Per-device bank constant as the mesh grows: outputs stay
         consistent with the single-device filter at every device count."""
