@@ -59,6 +59,7 @@ from bayesianfiltering_tpu.models.params import ParamsBPF, ParamsNLSSM
 from bayesianfiltering_tpu.ops import bank_update as _bank
 from bayesianfiltering_tpu.ops import ekf as _ekf
 from bayesianfiltering_tpu.ops import fused_ekf as _fused
+from bayesianfiltering_tpu.ops import fused_ut as _fused_ut
 from bayesianfiltering_tpu.ops import ukf as _ukf
 from bayesianfiltering_tpu.ops.ukf import ParamsUKF
 from bayesianfiltering_tpu.types import PRNGKey
@@ -413,22 +414,35 @@ def unscented_kalman_filter(
     f, h = params.dynamics_function, params.emission_function
     inputs = _process_input(inputs, num_timesteps)
     residual_fn = getattr(params, "emission_residual", None)
+    # Single-stream runs go through the fused UT Pallas kernels
+    # (ops/fused_ut.py) — the XLA in-scan factorizations are the UKF cost at
+    # M=1 (BENCHLOG.md round 3). Batched (vmapped) runs keep the batched
+    # blocked-recursion XLA path; the gate must sit at the filter boundary
+    # (ops/fused_ekf.py rationale).
+    use_fused = _filter_vmap_gate(params, emissions, inputs)
     if additive:
         if num_iter > 1:
             raise ValueError(
                 "num_iter > 1 (IPLF) is only implemented for the "
                 "non-additive quadrature; pass additive=False"
             )
-        predict = _ukf.ukf_predict_additive
-        condition = functools.partial(_ukf.ukf_condition_on_additive,
-                                      residual_fn=residual_fn)
+        predict = functools.partial(_fused_ut.fused_ukf_predict_additive,
+                                    use_pallas=use_fused)
+        condition = functools.partial(
+            _fused_ut.fused_ukf_condition_on_additive,
+            residual_fn=residual_fn, use_pallas=use_fused)
     else:
-        predict = _ukf.ukf_predict_nonadditive
+        predict = functools.partial(_fused_ut.fused_ukf_predict_nonadditive,
+                                    use_pallas=use_fused)
 
         def condition(m, P, h, R, u, y, uparams, r0):
-            return _ukf.ukf_condition_on_nonadditive_iterated(
-                m, P, h, R, u, y, uparams, r0, num_iter, residual_fn
-            )
+            if num_iter > 1:
+                return _ukf.ukf_condition_on_nonadditive_iterated(
+                    m, P, h, R, u, y, uparams, r0, num_iter, residual_fn
+                )
+            return _fused_ut.fused_ukf_condition_on_nonadditive(
+                m, P, h, R, u, y, uparams, r0, residual_fn,
+                use_pallas=use_fused)
 
     def step(carry, t):
         m_pred, P_pred, ll = carry

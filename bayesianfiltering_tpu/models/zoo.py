@@ -318,7 +318,8 @@ def lorenz63(sigma: float = 10.0, rho: float = 28.0, beta: float = 2.667,
 
 def lorenz96(state_dim: int = 40, emission_dim: Optional[int] = None,
              alpha: float = 1.0, beta: float = 1.0, gamma: float = 8.0,
-             dt: float = 0.01, q: float = 0.1, r: float = 1.0):
+             dt: float = 0.01, q: float = 0.1, r: float = 1.0,
+             integrator: str = "euler"):
     """Lorenz-96 dynamics with strided linear observations
     (ref: gaussfiltax/nonlinearities.py:38-51; BASELINE config 5 uses
     state_dim=512).
@@ -327,6 +328,14 @@ def lorenz96(state_dim: int = 40, emission_dim: Optional[int] = None,
     matrices; here the shifts are ``jnp.roll`` (O(dx) instead of two dx²
     matvecs) — the standard L96 form
     dx_i = (x_{i+1} − x_{i−2}) x_{i−1} − x_i + γ.
+
+    ``integrator``: "euler" is the reference's explicit Euler step — which
+    is UNSTABLE for L96 at the default dt=0.01 (a large fraction of noisy
+    trajectories leave f32 range within a few hundred steps; measured
+    round 3, BENCHLOG.md). "rk4" is a classic Runge–Kutta step over the
+    same vector field — four f-evals, no control flow, stable at this dt;
+    use it to generate finite long trajectories (e.g. as benchmark data)
+    while filtering with whichever discretization the experiment calls for.
     """
     if emission_dim is None:
         emission_dim = state_dim // 2
@@ -335,9 +344,22 @@ def lorenz96(state_dim: int = 40, emission_dim: Optional[int] = None,
     H = jnp.zeros((emission_dim, state_dim)).at[H_rows, H_cols].set(1.0)
     R = r * jnp.eye(emission_dim)
 
-    def f(x, qn, u):
+    def vf(x):
         adv = alpha * (jnp.roll(x, -1) - jnp.roll(x, 2)) * jnp.roll(x, 1)
-        return x + dt * (adv - beta * x + gamma) + qn
+        return adv - beta * x + gamma
+
+    if integrator == "rk4":
+        def f(x, qn, u):
+            k1 = vf(x)
+            k2 = vf(x + 0.5 * dt * k1)
+            k3 = vf(x + 0.5 * dt * k2)
+            k4 = vf(x + dt * k3)
+            return x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4) + qn
+    elif integrator == "euler":
+        def f(x, qn, u):
+            return x + dt * vf(x) + qn
+    else:
+        raise ValueError(f"unknown integrator {integrator!r}")
 
     def h(x, rn, u):
         return H @ x + rn

@@ -85,7 +85,10 @@ def project_to_psd_ns(delta: jax.Array, num_iters: int = 16) -> jax.Array:
     """
     a = symmetrize(delta)
     a2 = jnp.matmul(a, a, precision=_HI)
-    root = sqrtm_psd_ns(a2, num_iters)
+    # floor=1e-5: prevents the NS divergence on rounding-indefinite A²
+    # (see sqrtm_psd_ns) — for a projection the resulting ~3e-3·‖A‖ PSD
+    # inflation in null directions is conservative and harmless.
+    root = sqrtm_psd_ns(a2, num_iters, floor=1e-5)
     return symmetrize(0.5 * (a + root))
 
 
@@ -110,7 +113,8 @@ def sqrtm_psd_eigh(p: jax.Array) -> jax.Array:
     return symmetrize((evecs * root[..., None, :]) @ jnp.swapaxes(evecs, -1, -2))
 
 
-def sqrtm_psd_ns(p: jax.Array, num_iters: int = 14) -> jax.Array:
+def sqrtm_psd_ns(p: jax.Array, num_iters: int = 14,
+                 floor: float = 0.0) -> jax.Array:
     """Symmetric PSD square root via Newton–Schulz iteration — matmuls only.
 
     Trace-normalized coupled iteration
@@ -126,7 +130,16 @@ def sqrtm_psd_ns(p: jax.Array, num_iters: int = 14) -> jax.Array:
     eye = jnp.eye(n, dtype=p.dtype)
     p = symmetrize(p)
     s = jnp.trace(p, axis1=-2, axis2=-1)[..., None, None] + 1e-30
-    a = p / s
+    # ``floor`` > 0 shifts the trace-normalized spectrum up: matmul rounding
+    # can push a zero eigenvalue of a mathematically-PSD input (e.g. A² in
+    # project_to_psd_ns) slightly NEGATIVE, and the coupled iteration then
+    # amplifies it (zy ~ −2.25^k) and overflows to ±inf within ~20 steps —
+    # observed in-jit in the legacy MCLAF SDP on a (2,2) rounding-residue
+    # matrix (round 3). The default stays 0 so the sigma-point sqrtm path
+    # keeps golden parity with the reference (tests/test_golden_parity.py);
+    # the projection path passes 1e-5, which dominates that rounding (~1e-7)
+    # at a ~3e-3·tr(P) spread cost only in null directions.
+    a = p / s + floor * eye
     y, z = a, jnp.broadcast_to(eye, p.shape)
     for _ in range(num_iters):
         t = 0.5 * (3.0 * eye - jnp.matmul(z, y, precision=_HI))

@@ -30,14 +30,22 @@ BASELINE_STEPS_PER_SEC = 100_000.0
 
 def main():
     model, params, _ = zoo.lorenz96(STATE_DIM, EMISSION_DIM)
+    # Data comes from the RK4-integrated model: the reference-style Euler
+    # step is unstable at dt=0.01 (443/512 noisy trajectories left f32
+    # range mid-sequence in rounds 1-2 — timing-only artifact, BENCHLOG.md
+    # round 3). The FILTER still runs the Euler dynamics above, so the
+    # measured workload is unchanged; the emissions are now finite.
+    data_model, data_params, _ = zoo.lorenz96(STATE_DIM, EMISSION_DIM,
+                                              integrator="rk4")
 
     key = jr.PRNGKey(0)
     sample = jax.jit(
-        lambda k: jax.vmap(lambda kk: model.sample(params, kk, NUM_STEPS)[1])(
-            jr.split(k, BATCH)
-        )
+        lambda k: jax.vmap(
+            lambda kk: data_model.sample(data_params, kk, NUM_STEPS)[1]
+        )(jr.split(k, BATCH))
     )
     emissions = jax.block_until_ready(sample(key))
+    assert bool(jax.numpy.all(jax.numpy.isfinite(emissions)))
 
     filt = jax.jit(
         jax.vmap(lambda e: gf.extended_kalman_filter(params, e).filtered_means)

@@ -280,3 +280,99 @@ class TestVmapGate:
         jax.vmap(probe)(jnp.ones((3, 5, 1)))
         # unbatched → None (defer to size heuristics); batched → False (off)
         assert gates == [None, False]
+
+
+class TestFusedUT:
+    """ops/fused_ut.py: the fused single-stream UT kernels vs the
+    ops/ukf.py primitives (interpret mode on CPU)."""
+
+    def _setup(self, dx=8, dy=5):
+        k = jr.PRNGKey(7)
+        a = jr.normal(k, (dx, dx))
+        P = a @ a.T / dx + jnp.eye(dx)
+        m = jr.normal(jr.fold_in(k, 1), (dx,))
+        b = jr.normal(jr.fold_in(k, 2), (dy, dy))
+        R = b @ b.T / dy + 0.5 * jnp.eye(dy)
+        Q = 0.3 * jnp.eye(dx)
+        y = jr.normal(jr.fold_in(k, 3), (dy,))
+        H = jr.normal(jr.fold_in(k, 4), (dy, dx))
+        f = lambda x, q, u: jnp.tanh(x) + 0.9 * x + q
+        h = lambda x, r, u: H @ jnp.sin(x) + r
+        return m, P, Q, R, y, f, h
+
+    @pytest.mark.parametrize("method", ["cholesky", "sqrtm"])
+    @pytest.mark.parametrize("additive", [True, False])
+    def test_predict_matches_xla(self, method, additive):
+        from bayesianfiltering_tpu.ops import fused_ut as fut
+        from bayesianfiltering_tpu.ops import ukf as uk
+
+        m, P, Q, R, y, f, h = self._setup()
+        up = uk.ParamsUKF(alpha=1.0, beta=2.0, kappa=0.0, sqrt_method=method)
+        q0 = jnp.zeros(m.shape[-1])
+        fused = (fut.fused_ukf_predict_additive if additive
+                 else fut.fused_ukf_predict_nonadditive)
+        plain = (uk.ukf_predict_additive if additive
+                 else uk.ukf_predict_nonadditive)
+        with pltpu.force_tpu_interpret_mode():
+            mu_k, cov_k = fused(m, P, f, None, Q, up, q0, use_pallas=True)
+        mu_x, cov_x = plain(m, P, f, None, Q, up, q0)
+        np.testing.assert_allclose(mu_k, mu_x, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(cov_k, cov_x, rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("method", ["cholesky", "sqrtm"])
+    @pytest.mark.parametrize("additive", [True, False])
+    def test_update_matches_xla(self, method, additive):
+        from bayesianfiltering_tpu.ops import fused_ut as fut
+        from bayesianfiltering_tpu.ops import ukf as uk
+
+        m, P, Q, R, y, f, h = self._setup()
+        up = uk.ParamsUKF(alpha=1.0, beta=2.0, kappa=0.0, sqrt_method=method)
+        r0 = jnp.zeros(y.shape[-1])
+        fused = (fut.fused_ukf_condition_on_additive if additive
+                 else fut.fused_ukf_condition_on_nonadditive)
+        plain = (uk.ukf_condition_on_additive if additive
+                 else uk.ukf_condition_on_nonadditive)
+        with pltpu.force_tpu_interpret_mode():
+            out_k = fused(m, P, h, R, None, y, up, r0, use_pallas=True)
+        out_x = plain(m, P, h, R, None, y, up, r0)
+        for a, b, nm in zip(out_k, out_x, ("ll", "mean", "cov")):
+            np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-5,
+                                       err_msg=f"{method} {additive} {nm}")
+
+    def test_gate_off_under_vmap_and_residual(self):
+        from bayesianfiltering_tpu.ops import fused_ut as fut
+        from bayesianfiltering_tpu.ops import ukf as uk
+
+        m, P, Q, R, y, f, h = self._setup()
+        up = uk.ParamsUKF(alpha=1.0, sqrt_method="cholesky")
+        # Batched operands must never reach a pallas_call: the XLA
+        # fallback is the only valid path, so vmapping the wrapper with
+        # use_pallas left undecided must equal vmapping the plain op.
+        ms = jnp.stack([m, m + 0.1])
+        Ps = jnp.stack([P, P * 1.1])
+        q0 = jnp.zeros(m.shape[-1])
+        out_k = jax.vmap(
+            lambda mm, pp: fut.fused_ukf_predict_additive(
+                mm, pp, f, None, Q, up, q0)[1]
+        )(ms, Ps)
+        out_x = jax.vmap(
+            lambda mm, pp: uk.ukf_predict_additive(mm, pp, f, None, Q, up,
+                                                   q0)[1]
+        )(ms, Ps)
+        np.testing.assert_allclose(out_k, out_x, rtol=1e-6)
+
+    def test_grad_flows_through_wrapper(self):
+        from bayesianfiltering_tpu.ops import fused_ut as fut
+        from bayesianfiltering_tpu.ops import ukf as uk
+
+        m, P, Q, R, y, f, h = self._setup()
+        up = uk.ParamsUKF(alpha=1.0, sqrt_method="cholesky")
+        r0 = jnp.zeros(y.shape[-1])
+
+        def loss(P):
+            ll, mn, cv = fut.fused_ukf_condition_on_additive(
+                m, P, h, R, None, y, up, r0, use_pallas=False)
+            return ll + jnp.sum(mn) + jnp.sum(cv)
+
+        g = jax.grad(loss)(P)
+        assert bool(jnp.isfinite(g).all())
