@@ -317,7 +317,10 @@ def _ut_dynamics_cross_cov(f, m, P, Q, q0, u, uparams, additive: bool):
     same quadrature as the UKF predict (non-additive: augmented; additive:
     state-only). Shared by the URTS smoother and the unscented EM E-step
     (models/nonlinear.py)."""
-    from bayesianfiltering_tpu.utils.sigma_points import sigma_points
+    from bayesianfiltering_tpu.utils.sigma_points import (
+        sigma_points,
+        sigma_points_blockdiag,
+    )
 
     dx = m.shape[-1]
     if additive:
@@ -332,8 +335,7 @@ def _ut_dynamics_cross_cov(f, m, P, Q, q0, u, uparams, additive: bool):
         nq = q0.shape[-1]
         n_aug = dx + nq
         lamda = uparams.alpha ** 2 * (n_aug + uparams.kappa) - n_aug
-        mA, PA = _ukf._augment(m, P, q0, Q)
-        pts = sigma_points(mA, PA, lamda, uparams.sqrt_method)
+        pts = sigma_points_blockdiag(m, P, q0, Q, lamda, uparams.sqrt_method)
         new_pts = vmap(lambda xA: f(xA[:dx], xA[dx:], u))(pts)
         center_new = f(m, q0, u)
         pts_x = pts[:, :dx]

@@ -27,7 +27,10 @@ import jax.numpy as jnp
 from jax import vmap
 
 from bayesianfiltering_tpu.utils.linalg import fast_cholesky, symmetrize, tri_inv_lower
-from bayesianfiltering_tpu.utils.sigma_points import sigma_points
+from bayesianfiltering_tpu.utils.sigma_points import (
+    sigma_points,
+    sigma_points_blockdiag,
+)
 import math
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -95,8 +98,7 @@ def ukf_predict_nonadditive(
     nq = q0.shape[-1]
     n_aug = dx + nq
     lamda = uparams.alpha**2 * (n_aug + uparams.kappa) - n_aug
-    mA, PA = _augment(m, P, q0, Q)
-    pts = sigma_points(mA, PA, lamda, uparams.sqrt_method)
+    pts = sigma_points_blockdiag(m, P, q0, Q, lamda, uparams.sqrt_method)
     fA = lambda xA, uu: f(xA[:dx], xA[dx:], uu)
     new_pts = vmap(fA, in_axes=(0, None))(pts, u)
     center = f(m, q0, u)
@@ -133,8 +135,7 @@ def ukf_condition_on_nonadditive(
     n_aug = dx + nr
     y = jnp.atleast_1d(y)
     lamda = uparams.alpha**2 * (n_aug + uparams.kappa) - n_aug
-    mA, PA = _augment(m, P, r0, R)
-    pts = sigma_points(mA, PA, lamda, uparams.sqrt_method)
+    pts = sigma_points_blockdiag(m, P, r0, R, lamda, uparams.sqrt_method)
     hA = lambda xA, uu: h(xA[:dx], xA[dx:], uu)
     new_pts = vmap(hA, in_axes=(0, None))(pts, u)
     center = h(m, r0, u)
@@ -185,8 +186,7 @@ def _ut_emission_moments(m, P, h: Callable, R, u, uparams: ParamsUKF, r0):
     nr = r0.shape[-1]
     n_aug = dx + nr
     lamda = uparams.alpha**2 * (n_aug + uparams.kappa) - n_aug
-    mA, PA = _augment(m, P, r0, R)
-    pts = sigma_points(mA, PA, lamda, uparams.sqrt_method)
+    pts = sigma_points_blockdiag(m, P, r0, R, lamda, uparams.sqrt_method)
     hA = lambda xA, uu: h(xA[:dx], xA[dx:], uu)
     new_pts = vmap(hA, in_axes=(0, None))(pts, u)
     center = h(m, r0, u)

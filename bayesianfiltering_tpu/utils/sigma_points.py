@@ -67,6 +67,41 @@ def sigma_points(m: jax.Array, P: jax.Array, lamda, method: str = "sqrtm") -> ja
 _get_sigma_points = sigma_points
 
 
+def sigma_points_blockdiag(m: jax.Array, P: jax.Array, bias: jax.Array,
+                           C: jax.Array, lamda,
+                           method: str = "sqrtm") -> jax.Array:
+    """2·(dx+dn) sigma points of the augmented Gaussian
+    ``N([m; bias], blkdiag(P, C))`` with the factor built block-wise.
+
+    For PD blocks ``chol(blkdiag(P, C)) = blkdiag(chol(P), chol(C))`` (and
+    the symmetric PSD root likewise), so this returns bit-for-bit the same
+    points as ``sigma_points(concat(m, bias), blkdiag(P, C), ...)`` — the
+    reference's augmented form (ref: gaussfiltax/inference.py:151-157) —
+    while factoring dx² + dn² instead of (dx+dn)². On TPU the blocked
+    recursion's compile graph scales superlinearly in n (the (96,96)
+    augmented factor compiled 213 s vs 37 s for the two blocks, BENCHLOG.md
+    round 3), so the non-additive UKF paths build their augmented points
+    here.
+    """
+    dx, dn = m.shape[-1], bias.shape[-1]
+    na = dx + dn
+    if method == "cholesky":
+        fP, fC = _chol(P), _chol(C)
+    else:
+        fP, fC = sqrtm_psd(P), sqrtm_psd(C)
+    scale = jnp.sqrt(na + lamda)
+    offx = scale * jnp.swapaxes(fP, -1, -2)   # rows = scaled factor columns
+    offn = scale * jnp.swapaxes(fC, -1, -2)
+    zx = jnp.zeros(offx.shape[:-2] + (dx, dn), P.dtype)
+    zn = jnp.zeros(offn.shape[:-2] + (dn, dx), P.dtype)
+    off = jnp.concatenate([
+        jnp.concatenate([offx, zx], axis=-1),
+        jnp.concatenate([zn, offn], axis=-1),
+    ], axis=-2)
+    mA = jnp.concatenate([m, bias], axis=-1)[..., None, :]
+    return jnp.concatenate([mA + off, mA - off], axis=-2)
+
+
 def split_to_sigma_points(mean: jax.Array, cov: jax.Array, lamda) -> jax.Array:
     """2n+1 sigma points, center first, Cholesky columns (legacy UKF).
 

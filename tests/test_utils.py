@@ -121,6 +121,45 @@ class TestSigmaPoints:
         lamda, wm, wc = utils.unscented_weights(4, alpha=1e-3, beta=2.0, kappa=0.0)
         np.testing.assert_allclose(jnp.sum(wm), 1.0, rtol=1e-3)
 
+    @pytest.mark.parametrize("method", ["cholesky", "sqrtm"])
+    def test_sigma_points_blockdiag_matches_augmented(self, method):
+        """Block-wise augmented points == points of the explicit
+        block-diagonal augmented Gaussian (the non-additive UKF path)."""
+        from bayesianfiltering_tpu.utils.sigma_points import (
+            sigma_points_blockdiag,
+        )
+
+        dx, dn = 5, 3
+        P = _random_psd(jr.PRNGKey(11), dx)
+        C = _random_psd(jr.PRNGKey(12), dn)
+        m = jnp.arange(1.0, dx + 1.0)
+        bias = jnp.array([0.5, -1.0, 2.0])
+        mA = jnp.concatenate([m, bias])
+        PA = jnp.zeros((dx + dn, dx + dn)).at[:dx, :dx].set(P)
+        PA = PA.at[dx:, dx:].set(C)
+        ref = utils.sigma_points(mA, PA, 0.5, method)
+        new = sigma_points_blockdiag(m, P, bias, C, 0.5, method)
+        np.testing.assert_allclose(new, ref, rtol=1e-5, atol=1e-5)
+
+    def test_sigma_points_blockdiag_batched(self):
+        from bayesianfiltering_tpu.utils.sigma_points import (
+            sigma_points_blockdiag,
+        )
+
+        dx, dn, B = 4, 2, 3
+        P = jnp.stack([_random_psd(jr.PRNGKey(i), dx) for i in range(B)])
+        C = jnp.stack([_random_psd(jr.PRNGKey(10 + i), dn) for i in range(B)])
+        m = jnp.arange(float(B * dx)).reshape(B, dx)
+        bias = jnp.ones((B, dn))
+        batched = sigma_points_blockdiag(m, P, bias, C, 1.0, "cholesky")
+        single = jax.vmap(
+            lambda mm, pp, bb, cc: sigma_points_blockdiag(
+                mm, pp, bb, cc, 1.0, "cholesky"
+            )
+        )(m, P, bias, C)
+        assert batched.shape == (B, 2 * (dx + dn), dx + dn)
+        np.testing.assert_allclose(batched, single, rtol=1e-5, atol=1e-6)
+
 
 class TestResampling:
     def test_systematic_preserves_heavy_weight(self):
