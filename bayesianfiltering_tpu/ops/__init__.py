@@ -20,6 +20,10 @@ from bayesianfiltering_tpu.ops.linear import (
     kalman_smoother,
 )
 from bayesianfiltering_tpu.ops.associative import parallel_kalman_filter
+from bayesianfiltering_tpu.ops.parallel_iterated import (
+    parallel_iterated_extended_smoother,
+    parallel_iterated_sigma_point_smoother,
+)
 from bayesianfiltering_tpu.ops.slr import mc_moments, mcla_moments
 
 __all__ = [
@@ -29,5 +33,7 @@ __all__ = [
     "ukf_condition_on_additive", "ukf_condition_on_nonadditive",
     "ParamsLGSSM", "PosteriorKalman", "kalman_filter", "kalman_smoother",
     "parallel_kalman_filter",
+    "parallel_iterated_extended_smoother",
+    "parallel_iterated_sigma_point_smoother",
     "mc_moments", "mcla_moments",
 ]

@@ -210,6 +210,119 @@ def parallel_kalman_smoother(params: ParamsLGSSM, emissions: jax.Array,
     return post._replace(smoothed_means=sm, smoothed_covariances=sP)
 
 
+# ---------------------------------------------------------------------------
+# Time-varying (per-step affine) variants — the substrate for the parallel
+# ITERATED nonlinear smoothers (ops/parallel_iterated.py): each iteration
+# linearizes the nonlinear model into a per-timestep affine LGSSM
+# x_t = F_t x_{t-1} + c_t + q_t, y_t = H_t x_t + d_t + r_t and runs these.
+# ---------------------------------------------------------------------------
+
+
+def _first_element_tv(m0, P0, H0, d0, R0, y0):
+    """t=0 element: condition the prior on y_0 (same convention as
+    :func:`_first_element`, per-step emission model)."""
+    dx = m0.shape[-1]
+    S = symmetrize(H0 @ P0 @ H0.T + R0)
+    K = psd_solve(S, H0 @ P0).T
+    A = jnp.zeros((dx, dx))
+    b = m0 + K @ (y0 - H0 @ m0 - d0)
+    C = symmetrize(P0 - K @ S @ K.T)
+    return A, b, C, jnp.zeros((dx, dx)), jnp.zeros((dx,))
+
+
+def _generic_element_tv(F, c, Q, H, d, R, y):
+    """t>=1 element: predict through (F, c, Q) then update with (H, d, R)."""
+    dx = F.shape[-1]
+    S = symmetrize(H @ Q @ H.T + R)
+    K = psd_solve(S, H @ Q).T
+    resid = y - d - H @ c
+    A = (jnp.eye(dx) - K @ H) @ F
+    b = c + K @ resid
+    C = symmetrize((jnp.eye(dx) - K @ H) @ Q)
+    HF = H @ F
+    J = symmetrize(HF.T @ psd_solve(S, HF))
+    eta = HF.T @ psd_solve(S, resid)
+    return A, b, C, J, eta
+
+
+@with_matmul_precision
+def parallel_kalman_filter_tv(m0, P0, Fs, cs, Qs, Hs, ds, Rs, emissions,
+                              solver: str = "woodbury") -> PosteriorKalman:
+    """Log-depth Kalman filter for a TIME-VARYING affine LGSSM.
+
+    Stacks are length T along axis 0. Index ``t`` of ``Fs``/``cs``/``Qs``
+    is the transition INTO step t (``Fs[0]`` is unused — step 0 conditions
+    the prior directly); ``Hs``/``ds``/``Rs[t]`` is the emission model at
+    t. ``predicted_*[t]`` is the one-step prediction of t+1 given 0..t
+    (the final step reuses ``Fs[T-1]``, matching the time-invariant
+    variant's convention).
+    """
+    first = _first_element_tv(m0, P0, Hs[0], ds[0], Rs[0], emissions[0])
+    rest = vmap(_generic_element_tv)(Fs[1:], cs[1:], Qs[1:], Hs[1:], ds[1:],
+                                     Rs[1:], emissions[1:])
+    elems = tuple(
+        jnp.concatenate([f[None], r], axis=0) for f, r in zip(first, rest)
+    )
+    _, b_all, C_all, _, _ = lax.associative_scan(
+        functools.partial(_combine, solver=solver), elems
+    )
+    fm, fP = b_all, C_all
+
+    Fn = jnp.concatenate([Fs[1:], Fs[-1:]], axis=0)      # F_{t+1}, clamped
+    cn = jnp.concatenate([cs[1:], cs[-1:]], axis=0)
+    Qn = jnp.concatenate([Qs[1:], Qs[-1:]], axis=0)
+    pm = jnp.einsum("tij,tj->ti", Fn, fm) + cn
+    pP = symmetrize(jnp.einsum("tik,tkl,tjl->tij", Fn, fP, Fn) + Qn)
+
+    ll = _marginal_loglik_tv(m0, P0, Fs, cs, Qs, Hs, ds, Rs, emissions,
+                             fm, fP)
+    return PosteriorKalman(ll, fm, fP, pm, pP)
+
+
+@with_matmul_precision
+def parallel_kalman_smoother_tv(m0, P0, Fs, cs, Qs, Hs, ds, Rs, emissions,
+                                solver: str = "woodbury") -> PosteriorKalman:
+    """Log-depth RTS smoother for a time-varying affine LGSSM (same stack
+    conventions as :func:`parallel_kalman_filter_tv`)."""
+    post = parallel_kalman_filter_tv(m0, P0, Fs, cs, Qs, Hs, ds, Rs,
+                                     emissions, solver)
+    fm, fP = post.filtered_means, post.filtered_covariances
+    pm, pP = post.predicted_means, post.predicted_covariances
+
+    # G_t = P^f_t F_{t+1}ᵀ (P^p_{t+1|t})⁻¹ — per-step transition F_{t+1}.
+    G = vmap(lambda Pf, Pp, F: psd_solve(Pp, F @ Pf).T)(
+        fP[:-1], pP[:-1], Fs[1:])
+    g = fm[:-1] - jnp.einsum("tij,tj->ti", G, pm[:-1])
+    L = symmetrize(fP[:-1] - jnp.einsum("tij,tjk,tlk->til", G, pP[:-1], G))
+    elems = (
+        jnp.concatenate([G, jnp.zeros_like(fP[:1])], axis=0),
+        jnp.concatenate([g, fm[-1:]], axis=0),
+        jnp.concatenate([L, fP[-1:]], axis=0),
+    )
+    _, sm, sP = lax.associative_scan(
+        lambda a, b: _smoother_combine(b, a), elems, reverse=True
+    )
+    return post._replace(smoothed_means=sm, smoothed_covariances=sP)
+
+
+def _marginal_loglik_tv(m0, P0, Fs, cs, Qs, Hs, ds, Rs, emissions,
+                        filtered_means, filtered_covs):
+    from bayesianfiltering_tpu.distributions import mvn_logpdf
+
+    pm_prev = jnp.concatenate(
+        [m0[None],
+         jnp.einsum("tij,tj->ti", Fs[1:], filtered_means[:-1]) + cs[1:]],
+        axis=0)
+    pP_prev = jnp.concatenate(
+        [P0[None],
+         symmetrize(jnp.einsum("tik,tkl,tjl->tij", Fs[1:],
+                               filtered_covs[:-1], Fs[1:]) + Qs[1:])],
+        axis=0)
+    yhat = jnp.einsum("tij,tj->ti", Hs, pm_prev) + ds
+    S = symmetrize(jnp.einsum("tik,tkl,tjl->tij", Hs, pP_prev, Hs) + Rs)
+    return jnp.sum(mvn_logpdf(emissions, yhat, S))
+
+
 def _marginal_loglik(params, emissions, filtered_means, filtered_covs):
     """Innovation-form marginal log-likelihood from the filtered moments."""
     F, Q = params.dynamics_matrix, params.dynamics_covariance
@@ -229,4 +342,9 @@ def _marginal_loglik(params, emissions, filtered_means, filtered_covs):
     return jnp.sum(mvn_logpdf(emissions, yhat, S))
 
 
-__all__ = ["parallel_kalman_filter", "parallel_kalman_smoother"]
+__all__ = [
+    "parallel_kalman_filter",
+    "parallel_kalman_smoother",
+    "parallel_kalman_filter_tv",
+    "parallel_kalman_smoother_tv",
+]

@@ -1,0 +1,324 @@
+"""Parallel iterated extended / sigma-point Kalman smoothers (IEKS / IPLS).
+
+Each iteration (statistically) linearizes the nonlinear SSM around the
+current nominal trajectory into a per-timestep affine LGSSM
+
+    x_t = F_t x_{t-1} + c_t + q_t,   y_t = H_t x_t + d_t + r_t
+
+and runs the log-depth time-varying parallel filter + RTS smoother
+(:func:`bayesianfiltering_tpu.ops.associative.parallel_kalman_smoother_tv`).
+The fixed point of the extended (Jacobian) version is the Gauss–Newton MAP
+trajectory — the iterated extended Kalman smoother (IEKS); the sigma-point
+version is the iterated posterior-linearization smoother (IPLS), which
+relinearizes with unscented statistical linear regression about the current
+*posterior* marginals (means AND covariances).
+
+Technique: Yaghoobi, Corenflos, Hassan, Särkkä — "Parallel Iterated
+Extended and Sigma-Point Kalman Smoothers" (arXiv 2102.00514, PAPERS.md).
+No counterpart exists in the reference repo (it ships no smoother at all
+for its nonlinear models); this is the TPU-native long-sequence story for
+NONLINEAR models (SURVEY.md §5.7): every iteration is an associative scan —
+O(log T) combine depth of batched matmuls on the MXU — instead of a
+T-step sequential recursion, and the iteration loop itself is a
+``lax.scan`` with O(1) carry (the nominal trajectory).
+
+Linearization conventions match the sequential filters exactly:
+the transition into step t is linearized at ``nominal[t-1]`` with input
+``u_t`` (the generative ``x_t = f(x_{t-1}, q, u_t)`` convention,
+models/nonlinear.py; see PARITY.md "predict-input alignment") and noise
+slice t-1; the emission at t is linearized at ``nominal[t]`` with input
+``u_t`` and noise slice t. Non-additive noise enters through the exact
+EKF products ``F_q Q F_qᵀ`` / ``H_r R H_rᵀ`` (extended) or through the
+UT augmentation quadrature (sigma-point), ref: gaussfiltax/inference.py:51-105
+and :146-224 (the step math being linearized).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax, vmap
+
+from bayesianfiltering_tpu.config import with_matmul_precision
+from bayesianfiltering_tpu.ops import ukf as _ukf
+from bayesianfiltering_tpu.ops.associative import parallel_kalman_smoother_tv
+from bayesianfiltering_tpu.utils.linalg import psd_solve, symmetrize
+from bayesianfiltering_tpu.utils.sigma_points import sigma_points
+
+
+class IteratedSmootherAux(NamedTuple):
+    """Per-iteration diagnostics: max-norm of the nominal-trajectory change
+    (a contraction trace — should decrease toward the fixed point)."""
+
+    step_norms: jax.Array  # (num_iter,)
+
+
+# ---------------------------------------------------------------------------
+# linearizations: nominal trajectory -> per-timestep affine LGSSM stacks
+# ---------------------------------------------------------------------------
+
+
+def _extended_linearize(params, nom_m, inputs_arr, slice_noise, jacobians):
+    """First-order (Jacobian) linearization along a nominal mean trajectory.
+
+    Returns (Fs, cs, Qs, Hs, ds, Rs) stacks of length T with the
+    :func:`parallel_kalman_filter_tv` index conventions (``Fs[0]`` unused).
+    """
+    f, h, F_x, H_x, F_q, H_r = jacobians
+    T = nom_m.shape[0]
+    ts = jnp.arange(T)
+
+    def dyn(t):
+        # transition into t: linearize at nominal[t-1], input u_t
+        x = nom_m[jnp.maximum(t - 1, 0)]
+        u = inputs_arr[t]
+        Q, q0, _, _ = slice_noise(jnp.maximum(t - 1, 0))
+        F = F_x(x, q0, u)
+        Fq = F_q(x, q0, u)
+        c = f(x, q0, u) - F @ x
+        return F, c, symmetrize(Fq @ Q @ Fq.T)
+
+    def emi(t):
+        x = nom_m[t]
+        u = inputs_arr[t]
+        _, _, R, r0 = slice_noise(t)
+        H = jnp.atleast_2d(H_x(x, r0, u))
+        Hr = jnp.reshape(H_r(x, r0, u), (H.shape[0], -1))
+        d = jnp.atleast_1d(h(x, r0, u)) - H @ x
+        return H, d, symmetrize(Hr @ R @ Hr.T)
+
+    Fs, cs, Qs = vmap(dyn)(ts)
+    Hs, ds, Rs = vmap(emi)(ts)
+    return Fs, cs, Qs, Hs, ds, Rs
+
+
+def _slr_dynamics(f, m, P, Q, q0, u, uparams, additive):
+    """Unscented statistical linear regression of the dynamics at N(m, P):
+    F = D̃ᵀ P⁻¹, c = μ⁺ − F m, Ω = Φ⁺ − F P Fᵀ (Φ⁺ includes the process
+    noise, so Ω is the SLR residual + noise covariance)."""
+    from bayesianfiltering_tpu.inference import _ut_dynamics_cross_cov
+
+    if additive:
+        mu_p, Phi = _ukf.ukf_predict_additive(m, P, f, u, Q, uparams, q0)
+    else:
+        mu_p, Phi = _ukf.ukf_predict_nonadditive(m, P, f, u, Q, uparams, q0)
+    D = _ut_dynamics_cross_cov(f, m, P, Q, q0, u, uparams, additive)
+    F = psd_solve(P, D).T
+    c = mu_p - F @ m
+    Om = symmetrize(Phi - F @ P @ F.T)
+    return F, c, Om
+
+
+def _slr_emission(h, m, P, R, r0, u, uparams, additive):
+    """Unscented SLR of the emission at N(m, P): H = C P⁻¹, d = μ_y − H m,
+    Ω = S − H P Hᵀ (S includes the emission noise)."""
+    if additive:
+        dx = m.shape[-1]
+        lamda = uparams.alpha ** 2 * (dx + uparams.kappa) - dx
+        pts = sigma_points(m, P, lamda, uparams.sqrt_method)
+        rz = jnp.zeros_like(r0)
+        new_pts = vmap(h, in_axes=(0, None, None))(pts, rz, u)
+        center = jnp.atleast_1d(h(m, rz, u))
+        mu_y, S, centered = _ukf._ut_moments(
+            center, new_pts, lamda, dx, uparams.alpha, uparams.beta)
+        S = symmetrize(S + R)
+        C = jnp.einsum("ij,ik->jk", centered, pts - m) / (2.0 * (lamda + dx))
+    else:
+        mu_y, S, C = _ukf._ut_emission_moments(m, P, h, R, u, uparams, r0)
+    H = psd_solve(P, C.T).T
+    d = mu_y - H @ m
+    Om = symmetrize(S - H @ P @ H.T)
+    return H, d, Om
+
+
+def _sigma_point_linearize(params, uparams, nom_m, nom_P, inputs_arr,
+                           slice_noise, additive):
+    f, h = params.dynamics_function, params.emission_function
+    T = nom_m.shape[0]
+    ts = jnp.arange(T)
+
+    def dyn(t):
+        tp = jnp.maximum(t - 1, 0)
+        Q, q0, _, _ = slice_noise(tp)
+        return _slr_dynamics(f, nom_m[tp], nom_P[tp], Q, q0, inputs_arr[t],
+                             uparams, additive)
+
+    def emi(t):
+        _, _, R, r0 = slice_noise(t)
+        return _slr_emission(h, nom_m[t], nom_P[t], R, r0, inputs_arr[t],
+                             uparams, additive)
+
+    Fs, cs, Qs = vmap(dyn)(ts)
+    Hs, ds, Rs = vmap(emi)(ts)
+    return Fs, cs, Qs, Hs, ds, Rs
+
+
+# ---------------------------------------------------------------------------
+# iteration drivers
+# ---------------------------------------------------------------------------
+
+
+def _rollout(params, T, inputs_arr, slice_noise):
+    """Deterministic noise-free rollout ``x_t = f(x_{t-1}, q0_t, u_t)`` —
+    the default initial nominal trajectory. Sequential but elementwise-cheap
+    (no matrix algebra); pass ``nominal=`` to skip it entirely."""
+    f = params.dynamics_function
+
+    def step(x, t):
+        _, q0, _, _ = slice_noise(t - 1)
+        x1 = f(x, q0, inputs_arr[t])
+        return x1, x1
+
+    x0 = params.initial_mean
+    _, xs = lax.scan(step, x0, jnp.arange(1, T))
+    return jnp.concatenate([x0[None], xs], axis=0)
+
+
+def _iterate(linearize, run, nom_m, nom_P, num_iter, damping=1.0):
+    """num_iter fixed-point iterations with O(1) carry, then one final
+    smoother run at the converged linearization (whose full posterior is
+    returned).
+
+    ``damping`` γ ∈ (0, 1] relaxes the nominal update to
+    ``nom + γ(smoothed − nom)`` (a convex PSD-preserving combination for
+    the covariances). γ=1 is the plain fixed-point iteration of the paper;
+    γ<1 damps the 2-cycles the undamped iteration falls into when the
+    linearization is non-monotone over the posterior spread (the same role
+    as the paper's line-search/Levenberg–Marquardt variants, at zero extra
+    smoother passes)."""
+
+    def body(carry, _):
+        m, P = carry
+        post = run(linearize(m, P))
+        sm = m + damping * (post.smoothed_means - m)
+        sP = P + damping * (post.smoothed_covariances - P)
+        delta = jnp.max(jnp.abs(sm - m))
+        return (sm, sP), delta
+
+    if num_iter > 0:
+        (nom_m, nom_P), deltas = lax.scan(
+            body, (nom_m, nom_P), None, length=num_iter)
+    else:
+        deltas = jnp.zeros((0,))
+    post = run(linearize(nom_m, nom_P))
+    return post, IteratedSmootherAux(deltas)
+
+
+@with_matmul_precision
+def parallel_iterated_extended_smoother(
+    params,
+    emissions: jax.Array,
+    num_iter: int = 5,
+    inputs: Optional[jax.Array] = None,
+    nominal: Optional[jax.Array] = None,
+    solver: str = "woodbury",
+    damping: float = 1.0,
+):
+    """Parallel IEKS: log-depth iterated extended Kalman smoother.
+
+    Returns ``(PosteriorGaussianSmoothed, IteratedSmootherAux)``. With
+    ``num_iter=0`` this is a (non-iterated) extended Kalman smoother whose
+    every pass is an associative scan; the fixed point for ``num_iter→∞``
+    is the Gauss–Newton MAP trajectory (arXiv 2102.00514 §III).
+
+    ``nominal`` optionally seeds the linearization trajectory (T, dx);
+    default is the deterministic dynamics rollout.
+    """
+    from bayesianfiltering_tpu.inference import (
+        PosteriorGaussianSmoothed,
+        _jacobians,
+        _process_input,
+        _slice_noise,
+    )
+
+    T = len(emissions)
+    inputs_arr = _process_input(inputs, T)
+    slice_noise = lambda t: _slice_noise(params, t)
+    jac = _jacobians(params)
+    m0, P0 = params.initial_mean, params.initial_covariance
+
+    nom_m = _rollout(params, T, inputs_arr, slice_noise) \
+        if nominal is None else nominal
+    nom_P = jnp.broadcast_to(P0, (T,) + P0.shape)
+
+    def linearize(m, P):
+        del P  # first-order linearization uses means only
+        return _extended_linearize(params, m, inputs_arr, slice_noise, jac)
+
+    def run(stacks):
+        return parallel_kalman_smoother_tv(m0, P0, *stacks, emissions,
+                                           solver=solver)
+
+    post, aux = _iterate(linearize, run, nom_m, nom_P, num_iter,
+                         damping)
+    return (
+        PosteriorGaussianSmoothed(
+            post.marginal_loglik, post.filtered_means,
+            post.filtered_covariances, post.predicted_means,
+            post.predicted_covariances, post.smoothed_means,
+            post.smoothed_covariances),
+        aux,
+    )
+
+
+@with_matmul_precision
+def parallel_iterated_sigma_point_smoother(
+    params,
+    uparams,
+    emissions: jax.Array,
+    num_iter: int = 5,
+    inputs: Optional[jax.Array] = None,
+    additive: bool = False,
+    nominal: Optional[jax.Array] = None,
+    solver: str = "woodbury",
+    damping: float = 0.8,
+):
+    """Parallel IPLS: log-depth iterated posterior-linearization smoother
+    with unscented statistical linear regression (arXiv 2102.00514 §IV).
+
+    Unlike the IEKS, each relinearization uses the current posterior
+    marginals' means AND covariances, so the affine model carries the SLR
+    residual covariance — the sigma-point generalization of the URTS.
+    Returns ``(PosteriorGaussianSmoothed, IteratedSmootherAux)``.
+    """
+    from bayesianfiltering_tpu.inference import (
+        PosteriorGaussianSmoothed,
+        _process_input,
+        _slice_noise,
+    )
+
+    T = len(emissions)
+    inputs_arr = _process_input(inputs, T)
+    slice_noise = lambda t: _slice_noise(params, t)
+    m0, P0 = params.initial_mean, params.initial_covariance
+
+    nom_m = _rollout(params, T, inputs_arr, slice_noise) \
+        if nominal is None else nominal
+    nom_P = jnp.broadcast_to(P0, (T,) + P0.shape)
+
+    def linearize(m, P):
+        return _sigma_point_linearize(params, uparams, m, P, inputs_arr,
+                                      slice_noise, additive)
+
+    def run(stacks):
+        return parallel_kalman_smoother_tv(m0, P0, *stacks, emissions,
+                                           solver=solver)
+
+    post, aux = _iterate(linearize, run, nom_m, nom_P, num_iter,
+                         damping)
+    return (
+        PosteriorGaussianSmoothed(
+            post.marginal_loglik, post.filtered_means,
+            post.filtered_covariances, post.predicted_means,
+            post.predicted_covariances, post.smoothed_means,
+            post.smoothed_covariances),
+        aux,
+    )
+
+
+__all__ = [
+    "parallel_iterated_extended_smoother",
+    "parallel_iterated_sigma_point_smoother",
+    "IteratedSmootherAux",
+]
