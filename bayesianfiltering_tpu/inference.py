@@ -1041,6 +1041,14 @@ def bootstrap_particle_filter(
     return outputs
 
 
+# Log-depth iterated smoothers (IEKS/IPLS) live in ops/parallel_iterated.py
+# (they import helpers from this module at call time); re-exported here so
+# the smoother family is discoverable from one namespace.
+from bayesianfiltering_tpu.ops.parallel_iterated import (  # noqa: E402
+    parallel_iterated_extended_smoother,
+    parallel_iterated_sigma_point_smoother,
+)
+
 __all__ = [
     "ParamsUKF",
     "PosteriorGaussianSumFiltered",
@@ -1049,6 +1057,8 @@ __all__ = [
     "extended_kalman_filter",
     "extended_rts_smoother",
     "unscented_rts_smoother",
+    "parallel_iterated_extended_smoother",
+    "parallel_iterated_sigma_point_smoother",
     "unscented_kalman_filter",
     "gaussian_sum_filter",
     "unscented_gaussian_sum_filter",
