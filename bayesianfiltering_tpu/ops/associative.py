@@ -25,8 +25,8 @@ from bayesianfiltering_tpu.config import with_matmul_precision
 from bayesianfiltering_tpu.ops.linear import ParamsLGSSM, PosteriorKalman, _biases
 from bayesianfiltering_tpu.utils.linalg import (
     chol_and_inv_lower,
+    cholesky_guarded,
     psd_solve,
-    sqrtm_psd_ns,
     symmetrize,
 )
 
@@ -71,21 +71,26 @@ def _minv_woodbury(C1, J2):
     """Batched ``inv(I + C1 J2)`` for PSD ``C1``, ``J2`` without a general
     linear solve.
 
-    With the symmetric root ``V = J2^{1/2}`` (Newton–Schulz — matmuls
-    only, handles singular J2), Woodbury gives
-    ``inv(I + C1 V V) = I − C1 V inv(I + V C1 V) V`` where the inner
-    matrix is symmetric PD (⪰ I) — so the whole inverse is batched
-    matmuls + one blocked Cholesky, instead of TPU's loop-lowered native
+    Factor the COVARIANCE side: with ``U = chol(C1)`` (guarded — C1 is a
+    filtering covariance, PD up to roundoff; an all-zero C1 degrades to
+    the exact answer I), Woodbury gives
+    ``inv(I + U Uᵀ J2) = I − U inv(I + Uᵀ J2 U) Uᵀ J2`` where the inner
+    matrix is symmetric PD (⪰ I). Everything is batched matmuls + two
+    blocked Cholesky factorizations, instead of TPU's loop-lowered native
     LU (the repo's standard in-scan-factorization lesson, BENCHLOG.md).
+    Factoring C1 rather than J2 matters twice over: J2 = (HF)ᵀ S⁻¹ (HF)
+    is rank-deficient whenever dy < dx (so it needs the 14-iteration
+    Newton–Schulz PSD root — ~42 matmuls per combine; the round-3 original),
+    while C1 takes a single blocked Cholesky.
     """
     dx = C1.shape[-1]
     I = jnp.eye(dx, dtype=C1.dtype)
-    V = sqrtm_psd_ns(J2)
-    B = C1 @ V
-    inner = I + symmetrize(V @ B)
+    U = cholesky_guarded(C1)
+    J2U = J2 @ U
+    inner = I + symmetrize(jnp.swapaxes(U, -1, -2) @ J2U)
     _, linv = chol_and_inv_lower(inner)
     inner_inv = jnp.swapaxes(linv, -1, -2) @ linv
-    return I - B @ inner_inv @ V
+    return I - U @ inner_inv @ jnp.swapaxes(J2U, -1, -2)
 
 
 def _combine(elem_left, elem_right, solver: str = "woodbury"):
