@@ -192,6 +192,47 @@ class TestParallelIEKS:
         assert norms[-1] < norms[0]
         assert bool(jnp.all(jnp.isfinite(post.smoothed_means)))
 
+    def test_input_alignment_exact_on_linear_model(self):
+        """f = a·x + b·u_t is linear, so the IEKS is exact in one pass —
+        and must match a float64 TV-KF oracle built with the generative
+        convention (transition INTO t driven by u_t). Pins the input
+        indexing (the filters' round-3 predict-alignment bug class)."""
+        from bayesianfiltering_tpu.models.params import ParamsNLSSM
+
+        a, bu, q, r = 0.7, 0.9, 0.4, 0.1
+        T = 30
+        rng = np.random.default_rng(7)
+        u = jnp.asarray(rng.normal(size=(T, 1)), jnp.float32)
+        params = ParamsNLSSM(
+            initial_mean=jnp.zeros(1),
+            initial_covariance=jnp.eye(1),
+            dynamics_function=lambda x, qn, uu: a * x + bu * uu + qn,
+            dynamics_noise_bias=jnp.zeros(1),
+            dynamics_noise_covariance=q * jnp.eye(1),
+            emission_function=lambda x, rn, uu: x + rn,
+            emission_noise_bias=jnp.zeros(1),
+            emission_noise_covariance=r * jnp.eye(1),
+        )
+        from bayesianfiltering_tpu.models.nonlinear import NonlinearSSM
+
+        model = NonlinearSSM(1, 1, 1, 1)
+        _, em = model.sample(params, jr.PRNGKey(4), T, inputs=u)
+
+        un = np.asarray(u, np.float64)
+        Fs = np.tile(a * np.eye(1), (T, 1, 1))
+        cs = bu * un                       # c_t drives the transition INTO t
+        Qs = np.tile(q * np.eye(1), (T, 1, 1))
+        Hs = np.tile(np.eye(1), (T, 1, 1))
+        ds = np.zeros((T, 1))
+        Rs = np.tile(r * np.eye(1), (T, 1, 1))
+        _, _, sm, _, ll = np_tv_kf_rts(np.zeros(1), np.eye(1), Fs, cs, Qs,
+                                       Hs, ds, Rs, np.asarray(em, np.float64))
+        post, _ = parallel_iterated_extended_smoother(params, em,
+                                                      num_iter=1, inputs=u)
+        np.testing.assert_allclose(post.smoothed_means, sm,
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(post.marginal_loglik), ll, rtol=1e-4)
+
     def test_jits_and_accepts_nominal(self):
         model, params, _ = zoo.quadratic_measurement()
         em = jax.jit(lambda k: model.sample(params, k, 30)[1])(jr.PRNGKey(7))
