@@ -95,18 +95,43 @@ def _extended_linearize(params, nom_m, inputs_arr, slice_noise, jacobians):
 
 def _slr_dynamics(f, m, P, Q, q0, u, uparams, additive):
     """Unscented statistical linear regression of the dynamics at N(m, P):
-    F = D̃ᵀ P⁻¹, c = μ⁺ − F m, Ω = Φ⁺ − F P Fᵀ (Φ⁺ includes the process
-    noise, so Ω is the SLR residual + noise covariance)."""
-    from bayesianfiltering_tpu.inference import _ut_dynamics_cross_cov
+    F = Dᵀ P⁻¹, c = μ⁺ − F m, Ω = Φ⁺ − F P Fᵀ (Φ⁺ includes the process
+    noise, so Ω is the SLR residual + noise covariance).
 
+    One quadrature pass: the predicted moments (μ⁺, Φ⁺) and the
+    cross-covariance D come from the SAME sigma points and f-evaluations
+    (``ukf_predict_*`` + ``_ut_dynamics_cross_cov`` would each rebuild
+    them; per T per iteration that doubles the dynamics quadrature)."""
+    from bayesianfiltering_tpu.utils.sigma_points import (
+        sigma_points_blockdiag,
+    )
+
+    dx = m.shape[-1]
     if additive:
-        mu_p, Phi = _ukf.ukf_predict_additive(m, P, f, u, Q, uparams, q0)
+        n_aug = dx
+        lamda = uparams.alpha ** 2 * (dx + uparams.kappa) - dx
+        pts = sigma_points(m, P, lamda, uparams.sqrt_method)
+        qz = jnp.zeros_like(q0)
+        new_pts = vmap(lambda x: f(x, qz, u))(pts)
+        center = f(m, qz, u)
+        pts_x = pts
     else:
-        mu_p, Phi = _ukf.ukf_predict_nonadditive(m, P, f, u, Q, uparams, q0)
-    D = _ut_dynamics_cross_cov(f, m, P, Q, q0, u, uparams, additive)
+        nq = q0.shape[-1]
+        n_aug = dx + nq
+        lamda = uparams.alpha ** 2 * (n_aug + uparams.kappa) - n_aug
+        pts = sigma_points_blockdiag(m, P, q0, Q, lamda, uparams.sqrt_method)
+        new_pts = vmap(lambda xA: f(xA[:dx], xA[dx:], u))(pts)
+        center = f(m, q0, u)
+        pts_x = pts[:, :dx]
+    mu_p, Phi, centered = _ukf._ut_moments(
+        center, new_pts, lamda, n_aug, uparams.alpha, uparams.beta)
+    if additive:
+        Phi = Phi + Q
+    D = jnp.einsum("ij,ik->jk", pts_x - m, centered) / (
+        2.0 * (lamda + n_aug))
     F = psd_solve(P, D).T
     c = mu_p - F @ m
-    Om = symmetrize(Phi - F @ P @ F.T)
+    Om = symmetrize(symmetrize(Phi) - F @ P @ F.T)
     return F, c, Om
 
 
