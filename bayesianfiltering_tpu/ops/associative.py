@@ -5,9 +5,13 @@ scan in :mod:`bayesianfiltering_tpu.ops.linear` is O(T) depth; here the
 filtering recursion is phrased as an associative operator over per-timestep
 five-tuples ``(A, b, C, J, η)`` and combined in O(log T) depth
 (Särkkä & García-Fernández, *Temporal Parallelization of Bayesian Smoothers*,
-IEEE TAC 2021 — listed in PAPERS.md). On TPU this turns a latency-bound
-recursion into batched matmuls across the time axis (MXU-friendly), which is
-how a 1M-step linear filter saturates the chip.
+IEEE TAC 2021 — listed in PAPERS.md). On TPU the intent is to turn a
+latency-bound recursion into batched matmuls across the time axis
+(MXU-friendly). Measured status lives in BENCHLOG.md ("1M-step
+associative/IEKS validation"): all paths compile and run at bounded memory
+at T=1M and match the sequential filter to 5e-7; on CPU the sequential
+scan still wins (no dispatch-latency penalty there) — the TPU crossover is
+the open measurement.
 
 No counterpart exists in the reference (its only time handling is
 ``lax.scan``, e.g. ref: gaussfiltax/inference.py:371); this is the TPU-native
