@@ -23,10 +23,33 @@ def make_f1(p: float):
     return power_nonlinearity(p)
 
 
-f2 = sinc_nonlinearity()
-f3, J3, H3 = linear_nonlinear_product()
-f4, J4, H4 = linear_nonlinear_sum()
-f5, J5, H5 = quadratic_form()
+# f2..H5 are built LAZILY (PEP 562): quadratic_form() et al. create jnp
+# arrays, and a module-level jnp op initializes the JAX backend at package
+# import — with the axon TPU tunnel wedged that blocked `import
+# bayesianfiltering_tpu` forever (observed round 3). First attribute
+# access builds and caches the closures.
+_BUILDERS = {
+    "f2": lambda: (sinc_nonlinearity(),),
+    "f3": lambda: linear_nonlinear_product(),
+    "f4": lambda: linear_nonlinear_sum(),
+    "f5": lambda: quadratic_form(),
+}
+_GROUPS = {
+    "f2": ("f2",),
+    "f3": ("f3", "J3", "H3"), "J3": ("f3", "J3", "H3"), "H3": ("f3", "J3", "H3"),
+    "f4": ("f4", "J4", "H4"), "J4": ("f4", "J4", "H4"), "H4": ("f4", "J4", "H4"),
+    "f5": ("f5", "J5", "H5"), "J5": ("f5", "J5", "H5"), "H5": ("f5", "J5", "H5"),
+}
+
+
+def __getattr__(name):
+    group = _GROUPS.get(name)
+    if group is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    values = _BUILDERS[group[0]]()
+    for attr, value in zip(group, values):
+        globals()[attr] = value
+    return globals()[name]
 
 
 def make_lorenz96(state_dim: int, emission_dim: int, r: float = 1.0, **kw):
