@@ -22,6 +22,16 @@ O(log T) combine depth of batched matmuls on the MXU — instead of a
 T-step sequential recursion, and the iteration loop itself is a
 ``lax.scan`` with O(1) carry (the nominal trajectory).
 
+Known behavior on very stiff measurement models (measured, round 3): at
+the BOT benchmark's R = 2.5e-5 the plain Gauss–Newton iteration 2-cycles
+even from a near-truth nominal (curvature × 1/R step blow-up — the regime
+arXiv 2102.00514's line-search/LM variants exist for); at R = 2.5e-3 the
+same model converges in ~6 iterations to the sequential ERTS answer. Use
+``damping`` < 1 and/or a filtered-trajectory ``nominal`` on stiff models,
+or the sequential :func:`bayesianfiltering_tpu.inference.extended_rts_smoother`
+(which linearizes at data-driven filtered means and has no iteration to
+destabilize).
+
 Linearization conventions match the sequential filters exactly:
 the transition into step t is linearized at ``nominal[t-1]`` with input
 ``u_t`` (the generative ``x_t = f(x_{t-1}, q, u_t)`` convention,
@@ -200,6 +210,27 @@ def _rollout(params, T, inputs_arr, slice_noise):
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
+def _effective_emissions(params, emissions, nom_m, inputs_arr, slice_noise):
+    """Wrap-aware emissions for the linearized model: with an
+    ``emission_residual`` on the params (e.g. utils.angles.angular_residual
+    for bearing models — the BOT family), the affine filter must see
+    ``y_eff = ŷ(x̄) + (y ⊖ ŷ(x̄))`` so its linear innovation equals the
+    wrapped one at the linearization point. Without a residual this is
+    ``y`` unchanged."""
+    residual_fn = getattr(params, "emission_residual", None)
+    if residual_fn is None:
+        return emissions
+    h = params.emission_function
+    T = emissions.shape[0]
+
+    def one(t):
+        _, _, _, r0 = slice_noise(t)
+        yh = jnp.atleast_1d(h(nom_m[t], r0, inputs_arr[t]))
+        return yh + residual_fn(jnp.atleast_1d(emissions[t]), yh)
+
+    return vmap(one)(jnp.arange(T))
+
+
 def _iterate(linearize, run, nom_m, nom_P, num_iter, damping=1.0):
     """num_iter fixed-point iterations with O(1) carry, then one final
     smoother run at the converged linearization (whose full posterior is
@@ -269,10 +300,13 @@ def parallel_iterated_extended_smoother(
 
     def linearize(m, P):
         del P  # first-order linearization uses means only
-        return _extended_linearize(params, m, inputs_arr, slice_noise, jac)
+        stacks = _extended_linearize(params, m, inputs_arr, slice_noise, jac)
+        return stacks, _effective_emissions(params, emissions, m,
+                                            inputs_arr, slice_noise)
 
-    def run(stacks):
-        return parallel_kalman_smoother_tv(m0, P0, *stacks, emissions,
+    def run(arg):
+        stacks, ys = arg
+        return parallel_kalman_smoother_tv(m0, P0, *stacks, ys,
                                            solver=solver)
 
     post, aux = _iterate(linearize, run, nom_m, nom_P, num_iter,
@@ -323,11 +357,14 @@ def parallel_iterated_sigma_point_smoother(
     nom_P = jnp.broadcast_to(P0, (T,) + P0.shape)
 
     def linearize(m, P):
-        return _sigma_point_linearize(params, uparams, m, P, inputs_arr,
-                                      slice_noise, additive)
+        stacks = _sigma_point_linearize(params, uparams, m, P, inputs_arr,
+                                        slice_noise, additive)
+        return stacks, _effective_emissions(params, emissions, m,
+                                            inputs_arr, slice_noise)
 
-    def run(stacks):
-        return parallel_kalman_smoother_tv(m0, P0, *stacks, emissions,
+    def run(arg):
+        stacks, ys = arg
+        return parallel_kalman_smoother_tv(m0, P0, *stacks, ys,
                                            solver=solver)
 
     post, aux = _iterate(linearize, run, nom_m, nom_P, num_iter,

@@ -286,6 +286,24 @@ class TestParallelIPLS:
                                    rtol=0.15, atol=0.15)
 
 
+class TestWrappedEmissions:
+    def test_ieks_on_bearing_model_uses_residual(self):
+        """The BOT range-bearing model carries emission_residual (angle
+        wrap); the iterated smoother must route innovations through it
+        (y_eff = ŷ + (y ⊖ ŷ)) — finite output, smoothing gain over the
+        filter pass, on a moderately stiff configuration."""
+        model, params, _ = zoo.range_bearing_tracking(r=2.5e-3)
+        inputs = zoo.bot_experiment_inputs(60)
+        st, em = model.sample(params, jr.PRNGKey(0), 60, inputs=inputs)
+        post, aux = parallel_iterated_extended_smoother(
+            params, em, num_iter=6, inputs=inputs)
+        assert bool(jnp.all(jnp.isfinite(post.smoothed_means)))
+        assert float(aux.step_norms[-1]) < 1.0  # converging, not 2-cycling
+        rm_s = float(jnp.sqrt(jnp.mean((post.smoothed_means - st) ** 2)))
+        rm_f = float(jnp.sqrt(jnp.mean((post.filtered_means - st) ** 2)))
+        assert rm_s <= rm_f + 1e-6
+
+
 class TestTimeSharded:
     def test_ieks_runs_time_sharded(self):
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
