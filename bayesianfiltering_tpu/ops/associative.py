@@ -89,7 +89,16 @@ def _minv_woodbury(C1, J2):
     """
     dx = C1.shape[-1]
     I = jnp.eye(dx, dtype=C1.dtype)
-    U = cholesky_guarded(C1)
+    # C1 is SINGULAR whenever the process noise is rank-deficient
+    # (non-additive dq < dx, e.g. the BOT family: C = (I−KH)·F_qQF_qᵀ has
+    # rank dq) — a bare guarded Cholesky would zero the whole factor and
+    # silently turn the combine into Minv = I (caught round 3: the TV
+    # smoother returned a wrong trajectory ONLY on rank-deficient-Q
+    # models). A trace-relative jitter (1e-7, below the f32 matmul noise
+    # floor) keeps the factor finite and the inverse exact to rounding.
+    tr = jnp.trace(C1, axis1=-2, axis2=-1)
+    eps = (1e-7 * tr / dx + 1e-30)[..., None, None]
+    U = cholesky_guarded(C1 + eps * I)
     J2U = J2 @ U
     inner = I + symmetrize(jnp.swapaxes(U, -1, -2) @ J2U)
     _, linv = chol_and_inv_lower(inner)

@@ -132,6 +132,37 @@ class TestTimeVaryingParallel:
         np.testing.assert_allclose(float(post.marginal_loglik), ll,
                                    rtol=1e-3)
 
+    def test_tv_filter_rank_deficient_q(self):
+        """Singular per-step Q (rank dq < dx — the BOT family's effective
+        F_q Q F_qᵀ) must not break the Woodbury combine: its C1 elements
+        are singular, and the guarded Cholesky used to zero them (round-3
+        bug). Oracle = float64 sequential TV KF."""
+        T, dx, dy = 30, 4, 2
+        rng = np.random.default_rng(3)
+        G = rng.normal(size=(dx, 2))          # rank-2 noise loading
+        Qs = np.tile(0.1 * G @ G.T, (T, 1, 1))
+        Fs = np.tile(np.eye(dx) * 0.9, (T, 1, 1))
+        cs = np.zeros((T, dx))
+        Hs = np.tile(rng.normal(size=(dy, dx)), (T, 1, 1))
+        ds = np.zeros((T, dy))
+        # R=1e-2 keeps the test about SINGULAR C1, not f32 conditioning
+        # (at R=1e-4 with O(1) random H even the native-solve associative
+        # form drifts ~0.3 from the float64 oracle; the realistic stiff
+        # case is covered by test_ieks_beats_erts_on_stiff_bot)
+        Rs = np.tile(1e-2 * np.eye(dy), (T, 1, 1))
+        ys = rng.normal(size=(T, dy))
+        m0, P0 = np.zeros(dx), np.eye(dx)
+        fm, fP, sm, sP, ll = np_tv_kf_rts(m0, P0, Fs, cs, Qs, Hs, ds, Rs, ys)
+        jargs = [jnp.asarray(a, jnp.float32)
+                 for a in (m0, P0, Fs, cs, Qs, Hs, ds, Rs, ys)]
+        post = parallel_kalman_smoother_tv(*jargs)
+        # f32 headroom: measured ~1.4e-3/4.2e-3 vs the float64 oracle
+        # (native solve: 4.4e-2); the round-3 bug produced O(0.2) garbage
+        np.testing.assert_allclose(post.filtered_means, fm,
+                                   rtol=1e-2, atol=1e-2)
+        np.testing.assert_allclose(post.smoothed_means, sm,
+                                   rtol=2e-2, atol=2e-2)
+
     def test_tv_smoother_matches_numpy_oracle(self):
         args = self._random_tv(seed=1)
         _, _, sm, sP, _ = np_tv_kf_rts(*args)
@@ -302,6 +333,38 @@ class TestWrappedEmissions:
         rm_s = float(jnp.sqrt(jnp.mean((post.smoothed_means - st) ** 2)))
         rm_f = float(jnp.sqrt(jnp.mean((post.filtered_means - st) ** 2)))
         assert rm_s <= rm_f + 1e-6
+
+    def test_ieks_beats_erts_on_stiff_bot(self):
+        """Flagship regression for the rank-deficient-Q combine bug: on
+        the BOT benchmark config (R=2.5e-5, dq=2 < dx=4 so the combine's
+        C1 elements are SINGULAR), the IEKS must converge from the rollout
+        and beat the single-pass sequential ERTS. With the round-3 bug
+        (guarded Cholesky zeroing singular C1 → Minv = I) it stalled at
+        ~25x worse RMSE."""
+        import bayesianfiltering_tpu.inference as gf
+
+        model, params, _ = zoo.range_bearing_tracking()
+        inputs = zoo.bot_experiment_inputs(80)
+        st, em = model.sample(params, jr.PRNGKey(0), 80, inputs=inputs)
+        erts = gf.extended_rts_smoother(params, em, inputs=inputs)
+        rm_erts = float(jnp.sqrt(jnp.mean((erts.smoothed_means - st) ** 2)))
+        post, aux = parallel_iterated_extended_smoother(
+            params, em, num_iter=8, inputs=inputs, damping=0.7)
+        rm = float(jnp.sqrt(jnp.mean((post.smoothed_means - st) ** 2)))
+        assert float(aux.step_norms[-1]) < 0.05       # converged
+        assert rm <= rm_erts                          # 0.0044 vs 0.0101
+
+    def test_lm_trust_region_converges_on_stiff_bot(self):
+        model, params, _ = zoo.range_bearing_tracking()
+        inputs = zoo.bot_experiment_inputs(60)
+        st, em = model.sample(params, jr.PRNGKey(1), 60, inputs=inputs)
+        post, aux = parallel_iterated_extended_smoother(
+            params, em, num_iter=10, inputs=inputs, lm_lambda=100.0)
+        assert bool(jnp.all(jnp.isfinite(post.smoothed_means)))
+        assert float(aux.step_norms[-1]) < 0.05
+        rm = float(jnp.sqrt(jnp.mean((post.smoothed_means - st) ** 2)))
+        rm_f = float(jnp.sqrt(jnp.mean((post.filtered_means - st) ** 2)))
+        assert rm <= rm_f + 1e-6
 
 
 class TestTimeSharded:
