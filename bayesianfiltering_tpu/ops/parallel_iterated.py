@@ -305,6 +305,30 @@ def _make_map_cost(params, emissions, inputs_arr, slice_noise):
     return cost
 
 
+def _initial_nominal(params, emissions, inputs, inputs_arr, slice_noise,
+                     nominal, T):
+    """Resolve the nominal-trajectory seed.
+
+    ``None``/"rollout" = deterministic dynamics rollout (pure log-depth, the
+    paper's init — fine for stable dynamics). "filter" = one sequential EKF
+    pass (its filtered means): O(T) once, but the robust choice for UNSTABLE
+    dynamics, where the rollout diverges from the data exponentially (the
+    BOT family's 1.05-drift: seed-dependent heavy tails at T=100, garbage at
+    T=500 — measured round 3, experiments/smoother_experiment.py). An array
+    seeds directly."""
+    if nominal is None or (isinstance(nominal, str) and nominal == "rollout"):
+        return _rollout(params, T, inputs_arr, slice_noise)
+    if isinstance(nominal, str):
+        if nominal != "filter":
+            raise ValueError(f"unknown nominal seed {nominal!r}; expected "
+                             "'rollout', 'filter', or a (T, dx) array")
+        from bayesianfiltering_tpu.inference import extended_kalman_filter
+
+        return extended_kalman_filter(params, emissions,
+                                      inputs=inputs).filtered_means
+    return nominal
+
+
 def _iterate(linearize, run, nom_m, nom_P, num_iter, damping=1.0):
     """num_iter fixed-point iterations with O(1) carry, then one final
     smoother run at the converged linearization (whose full posterior is
@@ -322,7 +346,12 @@ def _iterate(linearize, run, nom_m, nom_P, num_iter, damping=1.0):
         m, P = carry
         post = run(linearize(m, P))
         sm = m + damping * (post.smoothed_means - m)
-        sP = P + damping * (post.smoothed_covariances - P)
+        # Covariances are NOT damped: they only feed the sigma-point spread
+        # of the SLR (IPLS), where a damped update leaves a remnant of the
+        # wide prior P0 in the spread for ~log(1/γ) extra iterations —
+        # at stiff R that remnant dominates the linearization error
+        # (measured: IPLS stuck ~100× worse on BOT with damped P).
+        sP = post.smoothed_covariances
         delta = jnp.max(jnp.abs(sm - m))
         return (sm, sP), delta
 
@@ -406,8 +435,8 @@ def parallel_iterated_extended_smoother(
     jac = _jacobians(params)
     m0, P0 = params.initial_mean, params.initial_covariance
 
-    nom_m = _rollout(params, T, inputs_arr, slice_noise) \
-        if nominal is None else nominal
+    nom_m = _initial_nominal(params, emissions, inputs, inputs_arr,
+                             slice_noise, nominal, T)
     nom_P = jnp.broadcast_to(P0, (T,) + P0.shape)
 
     def linearize(m, P):
@@ -470,8 +499,8 @@ def parallel_iterated_sigma_point_smoother(
     slice_noise = lambda t: _slice_noise(params, t)
     m0, P0 = params.initial_mean, params.initial_covariance
 
-    nom_m = _rollout(params, T, inputs_arr, slice_noise) \
-        if nominal is None else nominal
+    nom_m = _initial_nominal(params, emissions, inputs, inputs_arr,
+                             slice_noise, nominal, T)
     nom_P = jnp.broadcast_to(P0, (T,) + P0.shape)
 
     def linearize(m, P):
