@@ -264,6 +264,21 @@ class TestParallelIEKS:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(float(post.marginal_loglik), ll, rtol=1e-4)
 
+    def test_nominal_seed_modes(self):
+        model, params, _ = mild_sine_model()
+        em = jax.jit(lambda k: model.sample(params, k, 30)[1])(jr.PRNGKey(8))
+        p_roll, _ = parallel_iterated_extended_smoother(
+            params, em, num_iter=4, nominal="rollout")
+        p_filt, _ = parallel_iterated_extended_smoother(
+            params, em, num_iter=4, nominal="filter")
+        # both converge to the same fixed point on a contractive model
+        np.testing.assert_allclose(p_filt.smoothed_means,
+                                   p_roll.smoothed_means,
+                                   rtol=1e-3, atol=1e-3)
+        with pytest.raises(ValueError, match="nominal seed"):
+            parallel_iterated_extended_smoother(params, em, num_iter=1,
+                                                nominal="bogus")
+
     def test_jits_and_accepts_nominal(self):
         model, params, _ = zoo.quadratic_measurement()
         em = jax.jit(lambda k: model.sample(params, k, 30)[1])(jr.PRNGKey(7))
