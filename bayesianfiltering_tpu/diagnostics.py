@@ -27,23 +27,43 @@ class BenchmarkResult(NamedTuple):
         return num_steps / self.best
 
 
+def _force(out):
+    """Synchronize for REAL: fetch one element of the first output leaf.
+
+    On remote-tunnel backends (axon) compilation is asynchronous and
+    ``jax.block_until_ready`` returns immediately while the compile is
+    still in flight (measured: block 0.1 ms vs 10.8 s to materialize the
+    first result) — only an actual device→host value fetch is a reliable
+    barrier there. Steady-state ``block_until_ready`` is honest once a
+    value has been fetched.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(jnp.ravel(leaf)[0])
+
+
 def benchmark(fn: Callable, *args, num_runs: int = 3, jit: bool = True,
               **kwargs) -> BenchmarkResult:
     """Time ``fn(*args)`` correctly on an async backend.
 
-    Jits once, runs to completion (``block_until_ready``) for the compile
-    measurement, then takes best/mean of ``num_runs`` steady-state calls —
-    the discipline the reference's in-scan ``time.time()`` deltas violate
-    (they record trace-time constants, ref: gaussfiltax/inference.py:598).
+    Jits once, runs to completion — synced by a one-element value fetch,
+    because ``block_until_ready`` alone does not cover an in-flight async
+    compile on remote backends — for the compile measurement, then takes
+    best/mean of ``num_runs`` steady-state calls (each also value-fetch
+    synced; ~26 ms tunnel round-trip, subtract for sub-50 ms kernels).
+    This is the discipline the reference's in-scan ``time.time()`` deltas
+    violate (they record trace-time constants, ref:
+    gaussfiltax/inference.py:598).
     """
     run = jax.jit(fn) if jit else fn
     t0 = time.perf_counter()
-    jax.block_until_ready(run(*args, **kwargs))
+    _force(run(*args, **kwargs))
     compile_time = time.perf_counter() - t0
     times = []
     for _ in range(num_runs):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(*args, **kwargs))
+        out = run(*args, **kwargs)
+        jax.block_until_ready(out)
+        _force(out)
         times.append(time.perf_counter() - t0)
     return BenchmarkResult(min(times), sum(times) / len(times), compile_time,
                            num_runs)

@@ -77,13 +77,26 @@ def main():
     filt = jax.jit(
         jax.vmap(lambda e: gf.extended_kalman_filter(params, e).filtered_means)
     )
-    jax.block_until_ready(filt(emissions))  # compile + warm up
+    # Warm up with a VALUE FETCH, not just block_until_ready: the axon
+    # remote backend compiles asynchronously and block returns immediately
+    # while the compile is in flight (measured 2026-08-18, BENCHLOG.md) —
+    # a block-only warm-up would make the timed loop below measure nothing.
+    # Steady-state block IS honest once a value has been fetched.
+    float(filt(emissions).ravel()[0])
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         jax.block_until_ready(filt(emissions))
         best = min(best, time.perf_counter() - t0)
+
+    # Distrust-but-verify: one fetch-synced rep. If block-only timing was
+    # dishonest (async-compile pathology above), fall back to it.
+    t0 = time.perf_counter()
+    float(filt(emissions).ravel()[0])
+    fetch_wall = time.perf_counter() - t0
+    if best < 0.5 * fetch_wall - 0.1:
+        best = fetch_wall
 
     steps_per_sec = BATCH * NUM_STEPS / best
     print(json.dumps({

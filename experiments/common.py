@@ -49,11 +49,16 @@ def run_comparison(
 
     jitted = {name: jax.jit(fn) for name, fn in filters.items()}
 
-    # Warm-up compile on one dataset.
+    # Warm-up compile on one dataset — synced by a VALUE FETCH: on the
+    # axon remote backend block_until_ready returns while the async
+    # compile is still in flight (BENCHLOG.md round 3), so a block-only
+    # warm-up would push the compile into the first timed rep (or worse,
+    # make block-only reps measure nothing).
     key0 = jr.PRNGKey(seed)
     states0, emissions0 = sample_fn(key0)
     for name, fn in jitted.items():
-        jax.block_until_ready(fn(emissions0, key0))
+        out0 = fn(emissions0, key0)
+        jax.device_get(jnp.ravel(jax.tree_util.tree_leaves(out0)[0])[0])
 
     results = {name: {"rmse": [], "time": []} for name in filters}
     for i in range(n_sim):

@@ -49,10 +49,16 @@ def _time(fn):
     The legacy OO ``run`` methods trace a fresh ``lax.scan`` per call —
     harmless once under ``jax.jit`` (compile once at warm-up), but ~30 s
     of retracing per call eagerly for MCLAF's SDP-in-scan body."""
+    def _force(o):
+        # Fetch-synced (axon async compile; BENCHLOG.md round 3).
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        jax.device_get(jnp.ravel(leaf)[0])
+        return o
+
     jfn = jax.jit(fn)
-    out = jax.block_until_ready(jfn())
+    out = _force(jfn())
     t0 = time.perf_counter()
-    out = jax.block_until_ready(jfn())
+    out = _force(jfn())
     return out, time.perf_counter() - t0
 
 

@@ -69,9 +69,11 @@ def lorenz96_sweep(args):
     filt = jax.jit(jax.vmap(
         lambda e: gf.extended_kalman_filter(params, e).filtered_means
     ))
-    jax.block_until_ready(filt(emissions))
+    # Fetch-synced warm-up (axon async compile; BENCHLOG.md round 3).
+    float(filt(emissions).ravel()[0])
     t0 = time.perf_counter()
     means = jax.block_until_ready(filt(emissions))
+    float(means.ravel()[0])
     dt = time.perf_counter() - t0
     from bayesianfiltering_tpu.utils import rmse
 
