@@ -5,13 +5,15 @@ scan in :mod:`bayesianfiltering_tpu.ops.linear` is O(T) depth; here the
 filtering recursion is phrased as an associative operator over per-timestep
 five-tuples ``(A, b, C, J, η)`` and combined in O(log T) depth
 (Särkkä & García-Fernández, *Temporal Parallelization of Bayesian Smoothers*,
-IEEE TAC 2021 — listed in PAPERS.md). On TPU the intent is to turn a
-latency-bound recursion into batched matmuls across the time axis
-(MXU-friendly). Measured status lives in BENCHLOG.md ("1M-step
-associative/IEKS validation"): all paths compile and run at bounded memory
-at T=1M and match the sequential filter to 5e-7; on CPU the sequential
-scan still wins (no dispatch-latency penalty there) — the TPU crossover is
-the open measurement.
+IEEE TAC 2021 — listed in PAPERS.md), turning a latency-bound recursion
+into batched matmuls across the time axis. Measured on TPU v5e at T=1M
+(BENCHLOG.md round 3): sequential scan 152k steps/s; flat
+``lax.associative_scan`` with the Woodbury combine 2.63M steps/s (17×) but
+a 200 s compile; the default :func:`chunked_associative_scan` schedule
+(O(T) work, constant-size graph — sequential-within-chunk BATCHED
+combines + recursion over chunk aggregates) removes the compile cliff.
+All paths match the sequential filter to 5e-7 (float64 oracle parity in
+tests). On CPU the sequential scan still wins (no per-step latency there).
 
 No counterpart exists in the reference (its only time handling is
 ``lax.scan``, e.g. ref: gaussfiltax/inference.py:371); this is the TPU-native
@@ -106,6 +108,133 @@ def _minv_woodbury(C1, J2):
     return I - U @ inner_inv @ jnp.swapaxes(J2U, -1, -2)
 
 
+def _filter_identity(dx, dtype):
+    """Two-sided identity of the filtering combine: (A=I, b=0, C=0, J=0,
+    η=0). Verified algebraically (combine(e, id) = combine(id, e) = e —
+    every C1/J2 product vanishes) and numerically exact to f32 rounding
+    through the Woodbury path (the trace-relative jitter degrades to
+    1e-30·I). Enables chunk padding and scan-carry initialization in
+    :func:`chunked_associative_scan`."""
+    I = jnp.eye(dx, dtype=dtype)
+    z = jnp.zeros((dx, dx), dtype=dtype)
+    return I, jnp.zeros((dx,), dtype=dtype), z, z, jnp.zeros((dx,), dtype=dtype)
+
+
+def _smoother_identity(dx, dtype):
+    """Two-sided identity of the smoothing combine: (E=I, g=0, L=0)."""
+    I = jnp.eye(dx, dtype=dtype)
+    return I, jnp.zeros((dx,), dtype=dtype), jnp.zeros((dx, dx), dtype=dtype)
+
+
+def chunked_associative_scan(combine, elems, identity, chunk: int = 128,
+                             reverse: bool = False):
+    """Recursive two-level (Blelloch-style) inclusive scan.
+
+    ``lax.associative_scan`` does O(T log T) combine work in a graph with
+    O(log T) inlined combine layers — at T=1M that is a multi-minute XLA
+    compile and ~20 full passes over HBM. This version does O(T) work in a
+    CONSTANT-size graph:
+
+    1. pad T to G·chunk with identity elements and reshape to (G, chunk);
+    2. within-chunk inclusive prefixes via ONE ``lax.scan`` of ``chunk``
+       steps whose body is a combine BATCHED over all G chunks — the
+       batched-small-matrix regime every kernel in this repo is built
+       around (one pass over HBM);
+    3. recurse on the G chunk aggregates until they fit in one chunk,
+       then a plain sequential ``lax.scan`` prefix;
+    4. one batched combine broadcasting each chunk's exclusive prefix
+       into its in-chunk prefixes (second pass over HBM).
+
+    Depth is O(chunk·log_chunk T) instead of O(log T) — irrelevant on a
+    single chip where step 2's batched combines saturate bandwidth anyway.
+
+    ``combine`` must accept broadcastable leading batch axes and be
+    associative; ``identity`` is a tuple of single-element arrays that is
+    a TWO-SIDED identity of ``combine``. ``reverse=True`` matches
+    ``lax.associative_scan(combine, elems, reverse=True)`` exactly:
+    flip → forward scan with the SAME operator → flip (so, as there, a
+    time-ordered suffix product wants the caller to pass the
+    operand-swapped operator).
+    """
+    if reverse:
+        flipped = tuple(jnp.flip(x, axis=0) for x in elems)
+        out = chunked_associative_scan(combine, flipped, identity, chunk)
+        return tuple(jnp.flip(x, axis=0) for x in out)
+
+    T = elems[0].shape[0]
+
+    def _seq_prefix(xs):
+        init = tuple(jnp.broadcast_to(i, x.shape[1:])
+                     for i, x in zip(identity, xs))
+
+        def step(carry, x):
+            new = combine(carry, x)
+            return new, new
+
+        _, out = lax.scan(step, init, xs)
+        return out
+
+    if T <= chunk:
+        return _seq_prefix(elems)
+
+    G = -(-T // chunk)
+    pad = G * chunk - T
+    if pad:
+        elems = tuple(
+            jnp.concatenate(
+                [x, jnp.broadcast_to(i, (pad,) + x.shape[1:])], axis=0)
+            for i, x in zip(identity, elems))
+    # (T, ...) -> (chunk, G, ...): chunk g covers [g*chunk, (g+1)*chunk).
+    blocked = tuple(
+        jnp.moveaxis(x.reshape((G, chunk) + x.shape[1:]), 1, 0)
+        for x in elems)
+
+    # Step 2: in-chunk prefixes, combine batched over all G chunks.
+    init = tuple(jnp.broadcast_to(i, (G,) + i.shape) for i in identity)
+
+    def step(carry, x):
+        new = combine(carry, x)
+        return new, new
+
+    _, prefix = lax.scan(step, init, blocked)        # (chunk, G, ...)
+
+    # Step 3: exclusive prefix of the G chunk aggregates, recursively.
+    aggregates = tuple(p[-1] for p in prefix)        # (G, ...)
+    agg_prefix = chunked_associative_scan(combine, aggregates, identity,
+                                          chunk)
+    shifted = tuple(
+        jnp.concatenate([jnp.broadcast_to(i, (1,) + i.shape), a[:-1]],
+                        axis=0)
+        for i, a in zip(identity, agg_prefix))       # (G, ...)
+
+    # Step 4: broadcast each chunk's exclusive prefix into its elements.
+    out = combine(tuple(s[None] for s in shifted), prefix)  # (chunk, G, ...)
+    out = tuple(
+        jnp.moveaxis(x, 0, 1).reshape((G * chunk,) + x.shape[2:])[:T]
+        for x in out)
+    return out
+
+
+def _run_filter_scan(elems, solver: str, chunk):
+    """Dispatch the filtering prefix scan: chunked two-level (default for
+    long sequences) or the flat ``lax.associative_scan``(``chunk=None``)."""
+    fn = functools.partial(_combine, solver=solver)
+    if chunk is None:
+        return lax.associative_scan(fn, elems)
+    dx = elems[0].shape[-1]
+    ident = _filter_identity(dx, elems[0].dtype)
+    return chunked_associative_scan(fn, elems, ident, chunk=chunk)
+
+
+def _resolve_chunk(chunk, T):
+    """``chunk="auto"``: flat associative scan for short sequences (its
+    O(log T) graph is small there and has the lowest constant), two-level
+    at 128 beyond — measured crossover on v5e, BENCHLOG.md round 3."""
+    if chunk == "auto":
+        return None if T <= 4096 else 128
+    return chunk
+
+
 def _combine(elem_left, elem_right, solver: str = "woodbury"):
     """Associative combination of filtering elements (Särkkä & G-F, Lemma 8)."""
     A1, b1, C1, J1, eta1 = elem_left
@@ -139,15 +268,21 @@ def _combine(elem_left, elem_right, solver: str = "woodbury"):
 
 @with_matmul_precision
 def parallel_kalman_filter(params: ParamsLGSSM, emissions: jax.Array,
-                           solver: str = "woodbury") -> PosteriorKalman:
-    """Log-depth Kalman filter; matches :func:`kalman_filter` outputs
-    (filtered means/covariances; predicted moments derived by one extra
-    propagation; marginal loglik from the innovation form).
+                           solver: str = "woodbury",
+                           chunk="auto") -> PosteriorKalman:
+    """Temporally-parallel Kalman filter; matches :func:`kalman_filter`
+    outputs (filtered means/covariances; predicted moments derived by one
+    extra propagation; marginal loglik from the innovation form).
 
     ``solver``: "woodbury" (default) runs each combine's inverses as
     batched matmuls + blocked Cholesky (see :func:`_minv_woodbury`);
     "native" uses ``jnp.linalg.solve`` (loop-lowered on TPU; reference
     semantics for accuracy comparisons).
+
+    ``chunk``: "auto" (default) picks the scan schedule by sequence
+    length; an int runs the two-level :func:`chunked_associative_scan`
+    with that chunk size; ``None`` forces the flat
+    ``lax.associative_scan``.
     """
     F, Q = params.dynamics_matrix, params.dynamics_covariance
     c, _ = _biases(params)
@@ -158,9 +293,8 @@ def parallel_kalman_filter(params: ParamsLGSSM, emissions: jax.Array,
         jnp.concatenate([f[None], r], axis=0) for f, r in zip(first, rest)
     )
 
-    _, b_all, C_all, _, _ = lax.associative_scan(
-        functools.partial(_combine, solver=solver), elems
-    )
+    _, b_all, C_all, _, _ = _run_filter_scan(
+        elems, solver, _resolve_chunk(chunk, len(emissions)))
     filtered_means = b_all
     filtered_covs = C_all
 
@@ -172,6 +306,20 @@ def parallel_kalman_filter(params: ParamsLGSSM, emissions: jax.Array,
     ll = _marginal_loglik(params, emissions, filtered_means, filtered_covs)
     return PosteriorKalman(ll, filtered_means, filtered_covs,
                            predicted_means, predicted_covs)
+
+
+def _run_smoother_scan(elems, chunk):
+    """Reverse suffix scan of smoothing elements over the chunked / flat
+    schedule. In both, the REVERSE scan's left operand is the LATER-time
+    partial product, so the time-ordered combine's roles are swapped."""
+    if chunk is None:
+        return lax.associative_scan(
+            lambda a, b: _smoother_combine(b, a), elems, reverse=True)
+    dx = elems[0].shape[-1]
+    ident = _smoother_identity(dx, elems[0].dtype)
+    return chunked_associative_scan(
+        lambda a, b: _smoother_combine(b, a), elems, ident, chunk=chunk,
+        reverse=True)
 
 
 def _smoother_combine(elem_earlier, elem_later):
@@ -190,18 +338,20 @@ def _smoother_combine(elem_earlier, elem_later):
 
 @with_matmul_precision
 def parallel_kalman_smoother(params: ParamsLGSSM, emissions: jax.Array,
-                             solver: str = "woodbury") -> PosteriorKalman:
-    """Log-depth RTS smoother (Särkkä & García-Fernández 2021, §IV).
+                             solver: str = "woodbury",
+                             chunk="auto") -> PosteriorKalman:
+    """Temporally-parallel RTS smoother (Särkkä & García-Fernández 2021,
+    §IV).
 
-    Forward pass = :func:`parallel_kalman_filter` (log-depth); backward
+    Forward pass = :func:`parallel_kalman_filter`; backward
     pass phrases the RTS recursion as affine elements
     ``x_t | x_{t+1} ~ N(E_t x_{t+1} + g_t, L_t)`` with ``E_t`` the classic
-    smoothing gain, combined by a REVERSE ``lax.associative_scan`` — also
-    log-depth, and its combine is solve-free. Matches
+    smoothing gain, combined by a REVERSE scan over the same chunked /
+    flat schedule (the smoothing combine is solve-free). Matches
     :func:`bayesianfiltering_tpu.ops.linear.kalman_smoother` exactly
     (tested to 1e-4 at T=200).
     """
-    post = parallel_kalman_filter(params, emissions, solver)
+    post = parallel_kalman_filter(params, emissions, solver, chunk)
     F = params.dynamics_matrix
     c, _ = _biases(params)
     fm, fP = post.filtered_means, post.filtered_covariances
@@ -219,12 +369,8 @@ def parallel_kalman_smoother(params: ParamsLGSSM, emissions: jax.Array,
         jnp.concatenate([g, fm[-1:]], axis=0),
         jnp.concatenate([L, fP[-1:]], axis=0),
     )
-    # reverse=True flips, scans, flips back — so the scan's LEFT operand is
-    # the LATER-time partial product; swap the roles for the time-ordered
-    # operator above.
-    _, sm, sP = lax.associative_scan(
-        lambda a, b: _smoother_combine(b, a), elems, reverse=True
-    )
+    _, sm, sP = _run_smoother_scan(elems,
+                                   _resolve_chunk(chunk, len(emissions)))
     return post._replace(smoothed_means=sm, smoothed_covariances=sP)
 
 
@@ -265,7 +411,8 @@ def _generic_element_tv(F, c, Q, H, d, R, y):
 
 @with_matmul_precision
 def parallel_kalman_filter_tv(m0, P0, Fs, cs, Qs, Hs, ds, Rs, emissions,
-                              solver: str = "woodbury") -> PosteriorKalman:
+                              solver: str = "woodbury",
+                              chunk="auto") -> PosteriorKalman:
     """Log-depth Kalman filter for a TIME-VARYING affine LGSSM.
 
     Stacks are length T along axis 0. Index ``t`` of ``Fs``/``cs``/``Qs``
@@ -281,9 +428,8 @@ def parallel_kalman_filter_tv(m0, P0, Fs, cs, Qs, Hs, ds, Rs, emissions,
     elems = tuple(
         jnp.concatenate([f[None], r], axis=0) for f, r in zip(first, rest)
     )
-    _, b_all, C_all, _, _ = lax.associative_scan(
-        functools.partial(_combine, solver=solver), elems
-    )
+    _, b_all, C_all, _, _ = _run_filter_scan(
+        elems, solver, _resolve_chunk(chunk, len(emissions)))
     fm, fP = b_all, C_all
 
     Fn = jnp.concatenate([Fs[1:], Fs[-1:]], axis=0)      # F_{t+1}, clamped
@@ -299,11 +445,12 @@ def parallel_kalman_filter_tv(m0, P0, Fs, cs, Qs, Hs, ds, Rs, emissions,
 
 @with_matmul_precision
 def parallel_kalman_smoother_tv(m0, P0, Fs, cs, Qs, Hs, ds, Rs, emissions,
-                                solver: str = "woodbury") -> PosteriorKalman:
-    """Log-depth RTS smoother for a time-varying affine LGSSM (same stack
-    conventions as :func:`parallel_kalman_filter_tv`)."""
+                                solver: str = "woodbury",
+                                chunk="auto") -> PosteriorKalman:
+    """Temporally-parallel RTS smoother for a time-varying affine LGSSM
+    (same stack conventions as :func:`parallel_kalman_filter_tv`)."""
     post = parallel_kalman_filter_tv(m0, P0, Fs, cs, Qs, Hs, ds, Rs,
-                                     emissions, solver)
+                                     emissions, solver, chunk)
     fm, fP = post.filtered_means, post.filtered_covariances
     pm, pP = post.predicted_means, post.predicted_covariances
 
@@ -317,9 +464,8 @@ def parallel_kalman_smoother_tv(m0, P0, Fs, cs, Qs, Hs, ds, Rs, emissions,
         jnp.concatenate([g, fm[-1:]], axis=0),
         jnp.concatenate([L, fP[-1:]], axis=0),
     )
-    _, sm, sP = lax.associative_scan(
-        lambda a, b: _smoother_combine(b, a), elems, reverse=True
-    )
+    _, sm, sP = _run_smoother_scan(elems,
+                                   _resolve_chunk(chunk, len(emissions)))
     return post._replace(smoothed_means=sm, smoothed_covariances=sP)
 
 
@@ -361,6 +507,7 @@ def _marginal_loglik(params, emissions, filtered_means, filtered_covs):
 
 
 __all__ = [
+    "chunked_associative_scan",
     "parallel_kalman_filter",
     "parallel_kalman_smoother",
     "parallel_kalman_filter_tv",

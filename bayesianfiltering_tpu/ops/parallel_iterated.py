@@ -411,6 +411,7 @@ def parallel_iterated_extended_smoother(
     solver: str = "woodbury",
     damping: float = 1.0,
     lm_lambda: float = 0.0,
+    chunk="auto",
 ):
     """Parallel IEKS: log-depth iterated extended Kalman smoother.
 
@@ -448,7 +449,7 @@ def parallel_iterated_extended_smoother(
     def run(arg):
         stacks, ys = arg
         return parallel_kalman_smoother_tv(m0, P0, *stacks, ys,
-                                           solver=solver)
+                                           solver=solver, chunk=chunk)
 
     if lm_lambda > 0.0:
         cost_fn = _make_map_cost(params, emissions, inputs_arr, slice_noise)
@@ -479,6 +480,7 @@ def parallel_iterated_sigma_point_smoother(
     solver: str = "woodbury",
     damping: float = 0.8,
     lm_lambda: float = 0.0,
+    chunk="auto",
 ):
     """Parallel IPLS: log-depth iterated posterior-linearization smoother
     with unscented statistical linear regression (arXiv 2102.00514 §IV).
@@ -512,7 +514,7 @@ def parallel_iterated_sigma_point_smoother(
     def run(arg):
         stacks, ys = arg
         return parallel_kalman_smoother_tv(m0, P0, *stacks, ys,
-                                           solver=solver)
+                                           solver=solver, chunk=chunk)
 
     if lm_lambda > 0.0:
         cost_fn = _make_map_cost(params, emissions, inputs_arr, slice_noise)

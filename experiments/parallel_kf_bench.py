@@ -27,6 +27,7 @@ block-only wall scales linearly with an n-iteration fori_loop workload).
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 
 import jax
@@ -123,18 +124,31 @@ def main():
     row("associative KF (woodbury)",
         lambda p, y: associative.parallel_kalman_filter(
             p, y, solver="woodbury").filtered_means, params, ys)
+    for chunk in (64, 128, 256):
+        row(f"chunked KF (woodbury, chunk={chunk})",
+            functools.partial(
+                lambda p, y, c: associative.parallel_kalman_filter(
+                    p, y, chunk=c).filtered_means, c=chunk), params, ys)
     row("sequential KF + RTS smoother",
         lambda p, y: linear.kalman_smoother(p, y).smoothed_means, params, ys)
-    row("associative KF + log-depth RTS",
+    row("associative KF + log-depth RTS (flat)",
         lambda p, y: associative.parallel_kalman_smoother(
-            p, y).smoothed_means, params, ys)
+            p, y, chunk=None).smoothed_means, params, ys)
+    row("chunked KF + RTS (chunk=128)",
+        lambda p, y: associative.parallel_kalman_smoother(
+            p, y, chunk=128).smoothed_means, params, ys)
 
     # --- nonlinear workload: scalar growth (UNGM), 3-iteration IEKS ------
     _, nl_params, _ = zoo.scalar_growth()
     nl_ys = jr.normal(jr.fold_in(key, 3), (T, 1))
-    row("parallel IEKS, 3 iterations (nonlinear)",
+    row("parallel IEKS, 3 iterations (flat)",
         lambda p, y: parallel_iterated_extended_smoother(
-            p, y, num_iter=3)[0].smoothed_means, nl_params, nl_ys)
+            p, y, num_iter=3, chunk=None)[0].smoothed_means,
+        nl_params, nl_ys)
+    row("parallel IEKS, 3 iterations (chunk=128)",
+        lambda p, y: parallel_iterated_extended_smoother(
+            p, y, num_iter=3, chunk=128)[0].smoothed_means,
+        nl_params, nl_ys)
 
     print("\n| workload | steps/s | compile |")
     print("|---|---|---|")

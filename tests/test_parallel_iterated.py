@@ -369,6 +369,21 @@ class TestWrappedEmissions:
         assert float(aux.step_norms[-1]) < 0.05       # converged
         assert rm <= rm_erts                          # 0.0044 vs 0.0101
 
+    def test_ieks_chunked_schedule_on_singular_q(self):
+        """The chunked scan schedule must survive the same singular-C1
+        regime (its identity-element padding/carry adds all-zero C1
+        elements on top of the rank-2 ones)."""
+        model, params, _ = zoo.range_bearing_tracking()
+        inputs = zoo.bot_experiment_inputs(80)
+        st, em = model.sample(params, jr.PRNGKey(0), 80, inputs=inputs)
+        flat, _ = parallel_iterated_extended_smoother(
+            params, em, num_iter=8, inputs=inputs, damping=0.7, chunk=None)
+        chunked, aux = parallel_iterated_extended_smoother(
+            params, em, num_iter=8, inputs=inputs, damping=0.7, chunk=16)
+        assert float(aux.step_norms[-1]) < 0.05
+        np.testing.assert_allclose(chunked.smoothed_means,
+                                   flat.smoothed_means, rtol=1e-3, atol=1e-3)
+
     def test_lm_trust_region_converges_on_stiff_bot(self):
         model, params, _ = zoo.range_bearing_tracking()
         inputs = zoo.bot_experiment_inputs(60)

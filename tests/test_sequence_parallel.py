@@ -83,6 +83,62 @@ class TestParallelSmoother:
         np.testing.assert_allclose(par.filtered_means, seq.filtered_means,
                                    rtol=1e-3, atol=1e-4)
 
+class TestChunkedScan:
+    """The two-level (chunked) scan schedule must match the flat
+    ``lax.associative_scan`` and the sequential oracle bit-for-rounding."""
+
+    @pytest.mark.parametrize("T,chunk", [(7, 16), (64, 16), (257, 64),
+                                         (1000, 128)])
+    def test_chunked_matches_sequential(self, T, chunk):
+        lg = zoo.linear_gaussian_lgssm(3, 2)
+        model, params, _ = zoo.linear_gaussian(3, 2)
+        _, emissions = model.sample(params, jr.PRNGKey(5), T)
+        seq = kalman_smoother(lg, emissions)
+        par = parallel_kalman_smoother(lg, emissions, chunk=chunk)
+        np.testing.assert_allclose(par.filtered_means, seq.filtered_means,
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(par.smoothed_means, seq.smoothed_means,
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            par.smoothed_covariances, seq.smoothed_covariances,
+            rtol=1e-3, atol=1e-4)
+
+    def test_auto_threshold_paths_agree(self):
+        """T above the auto threshold (chunked) vs forced flat (None)."""
+        lg = zoo.linear_gaussian_lgssm(2, 2)
+        model, params, _ = zoo.linear_gaussian(2, 2)
+        _, emissions = model.sample(params, jr.PRNGKey(6), 5000)
+        auto = parallel_kalman_smoother(lg, emissions)            # chunked
+        flat = parallel_kalman_smoother(lg, emissions, chunk=None)
+        np.testing.assert_allclose(auto.smoothed_means, flat.smoothed_means,
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_chunked_native_solver(self):
+        lg = zoo.linear_gaussian_lgssm(3, 2)
+        model, params, _ = zoo.linear_gaussian(3, 2)
+        _, emissions = model.sample(params, jr.PRNGKey(7), 300)
+        w = parallel_kalman_filter(lg, emissions, chunk=32)
+        n = parallel_kalman_filter(lg, emissions, solver="native", chunk=32)
+        np.testing.assert_allclose(w.filtered_means, n.filtered_means,
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_chunked_time_sharded(self):
+        """Chunked schedule under a time-sharded input on the 8-CPU mesh."""
+        mesh = make_mesh((8,), ("time",))
+        lg = zoo.linear_gaussian_lgssm(2, 2)
+        model, params, _ = zoo.linear_gaussian(2, 2)
+        _, emissions = model.sample(params, jr.PRNGKey(8), 2048)
+        sharded = jax.device_put(
+            emissions, NamedSharding(mesh, P("time", None))
+        )
+        post = jax.jit(
+            lambda e: parallel_kalman_filter(lg, e, chunk=64))(sharded)
+        seq = kalman_filter(lg, emissions)
+        np.testing.assert_allclose(post.filtered_means, seq.filtered_means,
+                                   rtol=1e-3, atol=1e-4)
+
+
+class TestParallelSmootherSharded:
     def test_time_sharded_smoother(self):
         mesh = make_mesh((8,), ("time",))
         lg = zoo.linear_gaussian_lgssm(2, 2)
