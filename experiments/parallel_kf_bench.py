@@ -72,10 +72,10 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="T=100k smoke run")
     ap.add_argument("--skip", default="",
-                    help="comma-separated row names to skip")
+                    help="semicolon-separated row-name substrings to skip")
     args = ap.parse_args()
     T = 100_000 if args.quick else args.T
-    skip = set(filter(None, args.skip.split(",")))
+    skip = [s for s in args.skip.split(";") if s]
 
     from bayesianfiltering_tpu.models import zoo
     from bayesianfiltering_tpu.ops import associative, linear
@@ -103,7 +103,7 @@ def main():
     rows = []
 
     def row(name, fn, *fargs):
-        if name in skip:
+        if any(s in name for s in skip):
             return
         print(f"... compiling {name}", flush=True)
         jitted = jax.jit(fn)
@@ -139,16 +139,18 @@ def main():
             p, y, chunk=128).smoothed_means, params, ys)
 
     # --- nonlinear workload: scalar growth (UNGM), 3-iteration IEKS ------
+    # nl_params holds FUNCTION fields (dynamics/emission callables), so it
+    # must be closed over, not passed as a jit argument.
     _, nl_params, _ = zoo.scalar_growth()
     nl_ys = jr.normal(jr.fold_in(key, 3), (T, 1))
     row("parallel IEKS, 3 iterations (flat)",
-        lambda p, y: parallel_iterated_extended_smoother(
-            p, y, num_iter=3, chunk=None)[0].smoothed_means,
-        nl_params, nl_ys)
+        lambda y: parallel_iterated_extended_smoother(
+            nl_params, y, num_iter=3, chunk=None)[0].smoothed_means,
+        nl_ys)
     row("parallel IEKS, 3 iterations (chunk=128)",
-        lambda p, y: parallel_iterated_extended_smoother(
-            p, y, num_iter=3, chunk=128)[0].smoothed_means,
-        nl_params, nl_ys)
+        lambda y: parallel_iterated_extended_smoother(
+            nl_params, y, num_iter=3, chunk=128)[0].smoothed_means,
+        nl_ys)
 
     print("\n| workload | steps/s | compile |")
     print("|---|---|---|")
