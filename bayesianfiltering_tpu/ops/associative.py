@@ -217,8 +217,21 @@ def chunked_associative_scan(combine, elems, identity, chunk: int = 128,
 
 def _run_filter_scan(elems, solver: str, chunk):
     """Dispatch the filtering prefix scan: chunked two-level (default for
-    long sequences) or the flat ``lax.associative_scan``(``chunk=None``)."""
+    long sequences) or the flat ``lax.associative_scan``(``chunk=None``).
+
+    With the Woodbury solver on TPU at dx ≤ 8, every combine runs as ONE
+    fused Pallas kernel over the batched bank (ops/bank_combine.py) —
+    measured 63% of the chunked filter's wall was ~150 separate small XLA
+    fusions per combine."""
     fn = functools.partial(_combine, solver=solver)
+    if solver == "woodbury":
+        from bayesianfiltering_tpu.ops.bank_combine import (
+            bank_filter_combine,
+            should_use_pallas,
+        )
+
+        if should_use_pallas(elems[0].shape[-1], *elems):
+            fn = bank_filter_combine
     if chunk is None:
         return lax.associative_scan(fn, elems)
     dx = elems[0].shape[-1]

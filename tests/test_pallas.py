@@ -376,3 +376,85 @@ class TestFusedUT:
 
         g = jax.grad(loss)(P)
         assert bool(jnp.isfinite(g).all())
+
+
+class TestBankCombine:
+    """Fused associative-filtering combine kernel (ops/bank_combine.py) vs
+    the XLA Woodbury combine (interpret mode on CPU)."""
+
+    @staticmethod
+    def _elements(key, m, dx, dy=2, singular_head=0):
+        ks = jr.split(key, 5)
+        A = jr.normal(ks[0], (m, dx, dx)) * 0.5
+        b = jr.normal(ks[1], (m, dx))
+        cr = jr.normal(ks[2], (m, dx, dx)) * 0.3
+        C = cr @ jnp.swapaxes(cr, -1, -2) + 0.01 * jnp.eye(dx)
+        if singular_head:
+            # rank-deficient-Q regime: exactly singular C lanes
+            C = C.at[:singular_head].set(0.0)
+        jr_ = jr.normal(ks[3], (m, dx, dy)) * 0.4
+        J = jr_ @ jnp.swapaxes(jr_, -1, -2)   # rank dy < dx
+        eta = jr.normal(ks[4], (m, dx))
+        return (A, b, C, J, eta)
+
+    @pytest.mark.parametrize("dx", [2, 4, 8])
+    def test_kernel_matches_xla(self, dx):
+        from bayesianfiltering_tpu.ops import bank_combine as bc
+
+        left = self._elements(jr.PRNGKey(1), 96, dx, singular_head=20)
+        right = self._elements(jr.PRNGKey(2), 96, dx)
+        ref = bc._combine_xla(left, right)
+        with pltpu.force_tpu_interpret_mode():
+            out = bc._combine_pallas(left, right)
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(o, r, rtol=2e-5, atol=2e-5)
+
+    def test_broadcast_batch_dims(self):
+        """Step-4 shape of the chunked scan: left (1, G, ...) broadcast
+        against right (C, G, ...)."""
+        from bayesianfiltering_tpu.ops import bank_combine as bc
+
+        G, C, dx = 6, 4, 3
+        left = tuple(x[None] for x in self._elements(jr.PRNGKey(3), G, dx))
+        right = tuple(
+            x.reshape((C, G) + x.shape[1:])
+            for x in self._elements(jr.PRNGKey(4), C * G, dx))
+        ref = bc._combine_xla(left, right)
+        with pltpu.force_tpu_interpret_mode():
+            out = bc.bank_filter_combine(left, right, use_pallas=True)
+        for r, o in zip(ref, out):
+            assert o.shape == (C, G) + o.shape[2:]
+            np.testing.assert_allclose(o, np.broadcast_to(r, o.shape),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_gate_refuses_vmap_and_cpu(self):
+        from bayesianfiltering_tpu.ops import bank_combine as bc
+
+        left = self._elements(jr.PRNGKey(5), 8, 3)
+        # CPU backend → gate off outright
+        assert not bc.should_use_pallas(3, *left)
+
+        # under vmap the gate must fail closed even if other checks pass
+        hits = []
+
+        def probe(x):
+            hits.append(bc.should_use_pallas(3, x))
+            return x
+
+        jax.vmap(probe)(left[0])
+        assert hits == [False]
+
+    def test_grad_flows_through_wrapper(self):
+        from bayesianfiltering_tpu.ops import bank_combine as bc
+
+        left = self._elements(jr.PRNGKey(6), 4, 3)
+        right = self._elements(jr.PRNGKey(7), 4, 3)
+
+        def loss(C1):
+            out = bc.bank_filter_combine(
+                (left[0], left[1], C1, left[3], left[4]), right,
+                use_pallas=False)
+            return sum(jnp.sum(o) for o in out)
+
+        g = jax.grad(loss)(left[2])
+        assert bool(jnp.isfinite(g).all())
