@@ -325,14 +325,28 @@ def _run_smoother_scan(elems, chunk):
     """Reverse suffix scan of smoothing elements over the chunked / flat
     schedule. In both, the REVERSE scan's left operand is the LATER-time
     partial product, so the time-ordered combine's roles are swapped."""
+    from bayesianfiltering_tpu.ops.bank_combine import should_use_pallas
+    from bayesianfiltering_tpu.ops.bank_smoother import bank_smoother_combine
+
+    dx = elems[0].shape[-1]
+    combine = _smoother_combine
+    if should_use_pallas(dx, *elems):
+        combine = bank_smoother_combine
     if chunk is None:
         return lax.associative_scan(
-            lambda a, b: _smoother_combine(b, a), elems, reverse=True)
-    dx = elems[0].shape[-1]
+            lambda a, b: combine(b, a), elems, reverse=True)
     ident = _smoother_identity(dx, elems[0].dtype)
     return chunked_associative_scan(
-        lambda a, b: _smoother_combine(b, a), elems, ident, chunk=chunk,
+        lambda a, b: combine(b, a), elems, ident, chunk=chunk,
         reverse=True)
+
+
+def _smoother_elements(fm, fP, pm, pP, F):
+    """Per-step RTS elements ``(G, g, L)`` for t < T-1 — fused kernel on
+    TPU at dx ≤ 8 (ops/bank_smoother.py), batched XLA elsewhere."""
+    from bayesianfiltering_tpu.ops.bank_smoother import bank_smoother_elements
+
+    return bank_smoother_elements(fm, fP, pm, pP, F)
 
 
 def _smoother_combine(elem_earlier, elem_later):
@@ -370,11 +384,11 @@ def parallel_kalman_smoother(params: ParamsLGSSM, emissions: jax.Array,
     fm, fP = post.filtered_means, post.filtered_covariances
     pm, pP = post.predicted_means, post.predicted_covariances
 
-    # Elements for t < T-1: G_t = P^f_t Fᵀ (P^p_{t+1|t})⁻¹ (batched blocked
-    # PSD solve), g_t = m^f_t − G_t m^p_{t+1|t}, L_t = P^f_t − G_t P^p G_tᵀ.
-    G = vmap(lambda Pf, Pp: psd_solve(Pp, F @ Pf).T)(fP[:-1], pP[:-1])
-    g = fm[:-1] - jnp.einsum("tij,tj->ti", G, pm[:-1])
-    L = symmetrize(fP[:-1] - jnp.einsum("tij,tjk,tlk->til", G, pP[:-1], G))
+    # Elements for t < T-1: G_t = P^f_t Fᵀ (P^p_{t+1|t})⁻¹,
+    # g_t = m^f_t − G_t m^p_{t+1|t}, L_t = P^f_t − G_t P^p G_tᵀ.
+    G, g, L = _smoother_elements(
+        fm[:-1], fP[:-1], pm[:-1], pP[:-1],
+        jnp.broadcast_to(F, (len(fm) - 1,) + F.shape))
     # Last element: the smoothed marginal at T-1 IS the filtered one.
     E_last = jnp.zeros_like(fP[:1])
     elems = (
@@ -468,10 +482,7 @@ def parallel_kalman_smoother_tv(m0, P0, Fs, cs, Qs, Hs, ds, Rs, emissions,
     pm, pP = post.predicted_means, post.predicted_covariances
 
     # G_t = P^f_t F_{t+1}ᵀ (P^p_{t+1|t})⁻¹ — per-step transition F_{t+1}.
-    G = vmap(lambda Pf, Pp, F: psd_solve(Pp, F @ Pf).T)(
-        fP[:-1], pP[:-1], Fs[1:])
-    g = fm[:-1] - jnp.einsum("tij,tj->ti", G, pm[:-1])
-    L = symmetrize(fP[:-1] - jnp.einsum("tij,tjk,tlk->til", G, pP[:-1], G))
+    G, g, L = _smoother_elements(fm[:-1], fP[:-1], pm[:-1], pP[:-1], Fs[1:])
     elems = (
         jnp.concatenate([G, jnp.zeros_like(fP[:1])], axis=0),
         jnp.concatenate([g, fm[-1:]], axis=0),

@@ -458,3 +458,57 @@ class TestBankCombine:
 
         g = jax.grad(loss)(left[2])
         assert bool(jnp.isfinite(g).all())
+
+
+class TestBankSmoother:
+    """Fused RTS element-construction and smoothing-combine kernels
+    (ops/bank_smoother.py) vs their XLA references (interpret mode)."""
+
+    @pytest.mark.parametrize("dx", [2, 4, 8])
+    def test_elements_match_xla(self, dx):
+        from bayesianfiltering_tpu.ops import bank_smoother as bs
+
+        key = jr.PRNGKey(0)
+        M = 96
+        fP = _random_psd_bank(jr.fold_in(key, 1), M, dx)
+        pP = _random_psd_bank(jr.fold_in(key, 2), M, dx) + jnp.eye(dx)
+        fm = jr.normal(jr.fold_in(key, 3), (M, dx))
+        pm = jr.normal(jr.fold_in(key, 4), (M, dx))
+        F = jr.normal(jr.fold_in(key, 5), (M, dx, dx)) * 0.5
+        ref = bs._elements_xla(fm, fP, pm, pP, F)
+        with pltpu.force_tpu_interpret_mode():
+            out = bs._elements_pallas(fm, fP, pm, pP, F)
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(o, r, rtol=2e-4, atol=2e-4)
+
+    def test_combine_matches_xla(self):
+        from bayesianfiltering_tpu.ops import bank_smoother as bs
+
+        key, dx, M = jr.PRNGKey(1), 4, 64
+        mk = lambda k: (jr.normal(jr.fold_in(k, 0), (M, dx, dx)) * 0.5,
+                        jr.normal(jr.fold_in(k, 1), (M, dx)),
+                        _random_psd_bank(jr.fold_in(k, 2), M, dx))
+        e1, e2 = mk(jr.fold_in(key, 1)), mk(jr.fold_in(key, 2))
+        ref = bs._scombine_xla(e1, e2)
+        with pltpu.force_tpu_interpret_mode():
+            out = bs._scombine_pallas(e1, e2)
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(o, r, rtol=2e-5, atol=2e-5)
+
+    def test_combine_broadcast(self):
+        from bayesianfiltering_tpu.ops import bank_smoother as bs
+
+        key, dx, G, C = jr.PRNGKey(2), 3, 5, 4
+        mk = lambda k, m, lead: tuple(
+            x.reshape(lead + x.shape[1:]) for x in (
+                jr.normal(jr.fold_in(k, 0), (m, dx, dx)) * 0.5,
+                jr.normal(jr.fold_in(k, 1), (m, dx)),
+                _random_psd_bank(jr.fold_in(k, 2), m, dx)))
+        e1 = mk(jr.fold_in(key, 1), G, (1, G))
+        e2 = mk(jr.fold_in(key, 2), C * G, (C, G))
+        ref = bs._scombine_xla(e1, e2)
+        with pltpu.force_tpu_interpret_mode():
+            out = bs.bank_smoother_combine(e1, e2, use_pallas=True)
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(o, np.broadcast_to(r, o.shape),
+                                       rtol=2e-5, atol=2e-5)
