@@ -30,6 +30,22 @@ from bayesianfiltering_tpu.ops.linear import (
 )
 from bayesianfiltering_tpu.utils.linalg import psd_solve, symmetrize
 
+# Above this length the smoother pass (and hence every EM iteration) runs
+# through the temporally-parallel chunked scan + fused combine kernels —
+# 274× the sequential RTS at T=1M on v5e (BENCHLOG round 3). Below it the
+# sequential scan's lower constant wins.
+_PARALLEL_SMOOTHER_MIN_T = 4096
+
+
+def _smoother_dispatch(params: ParamsLGSSM, emissions):
+    if emissions.shape[0] >= _PARALLEL_SMOOTHER_MIN_T:
+        from bayesianfiltering_tpu.ops.associative import (
+            parallel_kalman_smoother,
+        )
+
+        return parallel_kalman_smoother(params, emissions)
+    return kalman_smoother(params, emissions)
+
 
 class SuffStatsLGSSM(NamedTuple):
     """Expected sufficient statistics from one sequence's smoother pass."""
@@ -89,7 +105,7 @@ class LinearGaussianSSM(SSM):
         return kalman_filter(params, emissions)
 
     def smoother(self, params: ParamsLGSSM, emissions, inputs=None):
-        return kalman_smoother(params, emissions)
+        return _smoother_dispatch(params, emissions)
 
     def marginal_log_prob(self, params: ParamsLGSSM, emissions, inputs=None):
         return kalman_filter(params, emissions).marginal_loglik
@@ -98,7 +114,7 @@ class LinearGaussianSSM(SSM):
     @with_matmul_precision
     def e_step(self, params: ParamsLGSSM, emissions, inputs=None):
         """RTS smoother pass → expected sufficient statistics + loglik."""
-        post = kalman_smoother(params, emissions)
+        post = _smoother_dispatch(params, emissions)
         ms = post.smoothed_means          # (T, dx)
         Ps = post.smoothed_covariances    # (T, dx, dx)
         F = params.dynamics_matrix

@@ -227,6 +227,31 @@ class TestLinearGaussianEM:
                                       true.emission_matrix)
 
 
+class TestLongSequenceEMDispatch:
+    def test_e_step_parallel_dispatch_matches_sequential(self):
+        """Above _PARALLEL_SMOOTHER_MIN_T the e_step smoother pass runs
+        through the chunked temporally-parallel RTS; the sufficient
+        statistics must match the sequential pass."""
+        from bayesianfiltering_tpu.models import LinearGaussianSSM
+        from bayesianfiltering_tpu.models import linear_gaussian as lgm
+        from bayesianfiltering_tpu.models import zoo
+
+        lg = zoo.linear_gaussian_lgssm(2, 2)
+        model, params, _ = zoo.linear_gaussian(2, 2)
+        _, em = model.sample(params, jr.PRNGKey(11), 5000)
+        assert em.shape[0] >= lgm._PARALLEL_SMOOTHER_MIN_T
+        m = LinearGaussianSSM(2, 2)
+        stats_par, ll_par = m.e_step(lg, em)
+
+        seq_post = lgm.kalman_smoother(lg, em)
+        par_post = lgm._smoother_dispatch(lg, em)
+        np.testing.assert_allclose(par_post.smoothed_means,
+                                   seq_post.smoothed_means,
+                                   rtol=1e-3, atol=1e-4)
+        assert bool(jnp.isfinite(ll_par))
+        assert all(bool(jnp.isfinite(x).all()) for x in stats_par)
+
+
 class TestNonlinearEM:
     """Extended EM on the nonlinear model classes — the last capability slot
     of the reference's fit_em surface (ref: gaussfiltax/ssm.py:302-399,
