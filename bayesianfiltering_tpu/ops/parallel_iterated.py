@@ -233,6 +233,37 @@ def _effective_emissions(params, emissions, nom_m, inputs_arr, slice_noise):
     return vmap(one)(jnp.arange(T))
 
 
+def _recentered_smoother_tv(m0, P0, stacks, ys, nom, solver, chunk):
+    """Run the TV associative smoother in DEVIATION space δx = x − nominal.
+
+    Exact affine reparameterization (c′_t = c_t + F_t x̄_{t−1} − x̄_t,
+    d′_t = d_t + H_t x̄_t, m0′ = m0 − x̄_0; marginal loglik invariant —
+    the innovation terms cancel identically). Why: on drifting models the
+    associative elements mix state coordinates (~1e3 on BOT at T=500)
+    with tiny covariances (~1e-5), and f32's 24-bit mantissa swallows the
+    increments (the round-3 documented limitation); in deviation space
+    every b/η is an O(posterior-spread) quantity, so the parallel family
+    covers this model class too (EXPERIMENTS.md BOT smoothing table).
+    """
+    from bayesianfiltering_tpu.ops.associative import (
+        parallel_kalman_smoother_tv,
+    )
+
+    Fs, cs, Qs, Hs, ds, Rs = stacks
+    cs2 = cs.at[1:].add(
+        jnp.einsum("tij,tj->ti", Fs[1:], nom[:-1]) - nom[1:])
+    ds2 = ds + jnp.einsum("tij,tj->ti", Hs, nom)
+    post = parallel_kalman_smoother_tv(m0 - nom[0], P0, Fs, cs2, Qs, Hs,
+                                       ds2, Rs, ys, solver=solver,
+                                       chunk=chunk)
+    nom_next = jnp.concatenate([nom[1:], nom[-1:]], axis=0)
+    return post._replace(
+        filtered_means=post.filtered_means + nom,
+        predicted_means=post.predicted_means + nom_next,
+        smoothed_means=post.smoothed_means + nom,
+    )
+
+
 def _lm_augment(stacks, ys, nom_m, lam):
     """Levenberg–Marquardt regularization as per-step pseudo-observations:
     observing ``x_t = nominal_t`` with precision λ adds ½λ‖x_t − x̄_t‖² to
@@ -379,7 +410,7 @@ def _iterate_lm(linearize, run, cost_fn, nom_m, nom_P, num_iter, lam0):
         Qs, Rs = stacks[2], stacks[5]
         cost_here = cost_fn(m, Qs, Rs)
         aug = _lm_augment(stacks, ys, m, lam)
-        post = run(aug)
+        post = run(aug + (m,))
         cand_m = post.smoothed_means
         cand_P = post.smoothed_covariances
         cost_cand = cost_fn(cand_m, Qs, Rs)
@@ -412,6 +443,7 @@ def parallel_iterated_extended_smoother(
     damping: float = 1.0,
     lm_lambda: float = 0.0,
     chunk="auto",
+    recenter: bool = True,
 ):
     """Parallel IEKS: log-depth iterated extended Kalman smoother.
 
@@ -443,11 +475,14 @@ def parallel_iterated_extended_smoother(
     def linearize(m, P):
         del P  # first-order linearization uses means only
         stacks = _extended_linearize(params, m, inputs_arr, slice_noise, jac)
-        return stacks, _effective_emissions(params, emissions, m,
-                                            inputs_arr, slice_noise)
+        return (stacks, _effective_emissions(params, emissions, m,
+                                             inputs_arr, slice_noise), m)
 
     def run(arg):
-        stacks, ys = arg
+        stacks, ys, nom = arg
+        if recenter:
+            return _recentered_smoother_tv(m0, P0, stacks, ys, nom,
+                                           solver, chunk)
         return parallel_kalman_smoother_tv(m0, P0, *stacks, ys,
                                            solver=solver, chunk=chunk)
 
@@ -481,6 +516,7 @@ def parallel_iterated_sigma_point_smoother(
     damping: float = 0.8,
     lm_lambda: float = 0.0,
     chunk="auto",
+    recenter: bool = True,
 ):
     """Parallel IPLS: log-depth iterated posterior-linearization smoother
     with unscented statistical linear regression (arXiv 2102.00514 §IV).
@@ -508,11 +544,14 @@ def parallel_iterated_sigma_point_smoother(
     def linearize(m, P):
         stacks = _sigma_point_linearize(params, uparams, m, P, inputs_arr,
                                         slice_noise, additive)
-        return stacks, _effective_emissions(params, emissions, m,
-                                            inputs_arr, slice_noise)
+        return (stacks, _effective_emissions(params, emissions, m,
+                                             inputs_arr, slice_noise), m)
 
     def run(arg):
-        stacks, ys = arg
+        stacks, ys, nom = arg
+        if recenter:
+            return _recentered_smoother_tv(m0, P0, stacks, ys, nom,
+                                           solver, chunk)
         return parallel_kalman_smoother_tv(m0, P0, *stacks, ys,
                                            solver=solver, chunk=chunk)
 

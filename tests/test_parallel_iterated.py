@@ -369,6 +369,37 @@ class TestWrappedEmissions:
         assert float(aux.step_norms[-1]) < 0.05       # converged
         assert rm <= rm_erts                          # 0.0044 vs 0.0101
 
+    def test_recentered_ieks_survives_drifting_coordinates_t500(self):
+        """Round-3 documented limitation, now closed: at T=500 the BOT
+        state coordinates reach ~1e3 while covariances are ~1e-5, and the
+        raw associative elements lose the increments to f32's 24-bit
+        mantissa (non-recentered IEKS diverges, RMSE ~30). The deviation-
+        space reparameterization (recenter=True, default) makes the
+        parallel IEKS beat the sequential ERTS on this model class."""
+        import bayesianfiltering_tpu.inference as gf
+
+        model, params, _ = zoo.range_bearing_tracking()
+        inputs = zoo.bot_experiment_inputs(500)
+        st, em = model.sample(params, jr.PRNGKey(1), 500, inputs=inputs)
+        erts = gf.extended_rts_smoother(params, em, inputs=inputs)
+        rm_erts = float(jnp.sqrt(jnp.mean((erts.smoothed_means - st) ** 2)))
+        post, aux = parallel_iterated_extended_smoother(
+            params, em, num_iter=8, inputs=inputs, damping=0.7,
+            nominal="filter")
+        rm = float(jnp.sqrt(jnp.mean((post.smoothed_means - st) ** 2)))
+        assert float(aux.step_norms[-1]) < 0.05      # converged (was ~130)
+        assert rm < rm_erts                          # 0.095 vs 0.146
+
+    def test_recenter_is_a_numerical_noop_when_well_scaled(self):
+        _, p, _ = zoo.scalar_growth()
+        ys = jr.normal(jr.PRNGKey(2), (200, 1))
+        a, _ = parallel_iterated_extended_smoother(p, ys, num_iter=4,
+                                                   recenter=True)
+        b, _ = parallel_iterated_extended_smoother(p, ys, num_iter=4,
+                                                   recenter=False)
+        np.testing.assert_allclose(a.smoothed_means, b.smoothed_means,
+                                   rtol=1e-3, atol=1e-3)
+
     def test_ieks_chunked_schedule_on_singular_q(self):
         """The chunked scan schedule must survive the same singular-C1
         regime (its identity-element padding/carry adds all-zero C1
