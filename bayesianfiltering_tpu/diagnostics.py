@@ -69,6 +69,68 @@ def benchmark(fn: Callable, *args, num_runs: int = 3, jit: bool = True,
                            num_runs)
 
 
+class OnDeviceResult(NamedTuple):
+    per_call: float       # on-device seconds per fn call (overhead-free)
+    walls: tuple          # best wall for each K in reps
+    reps: tuple
+
+    def steps_per_sec(self, num_steps: int) -> float:
+        return num_steps / self.per_call
+
+
+def benchmark_on_device(fn: Callable, inputs, reps=(2, 10),
+                        num_runs: int = 3) -> OnDeviceResult:
+    """Isolate the ON-DEVICE wall of ``fn`` from per-dispatch overhead.
+
+    Through the axon tunnel every dispatch+fetch costs ~26–52 ms, which
+    swamps sub-100 ms programs (:func:`benchmark` can only report
+    dispatch-inclusive walls). This builds, for each ``K`` in ``reps``,
+    ONE jitted program that runs ``fn`` K times inside ``lax.fori_loop``
+    — each iteration reads a different loop-counter-indexed slice of
+    ``inputs`` (so XLA cannot hoist the body out of the loop) and folds
+    ``jnp.sum`` of every output leaf into the scalar carry. The full
+    reduction matters: folding a single output ELEMENT lets XLA
+    dead-code-eliminate everything that element doesn't depend on
+    (measured: the element-construction row collapsed to a scalar slice
+    and timed ~0). The sum adds one read pass over the outputs — any
+    real consumer pays at least that. The per-call time is the slope
+    ``(wall_K2 − wall_K1) / (K2 − K1)``: dispatch, tunnel, and fetch
+    overhead cancel exactly.
+
+    ``inputs`` is a pytree whose leaves carry a leading axis of size
+    ≥ ``max(reps)`` (stack ``max(reps)`` variants of the argument;
+    repeats-with-jitter are fine). ``fn`` receives one slice.
+    """
+    from jax import lax
+
+    n = jax.tree_util.tree_leaves(inputs)[0].shape[0]
+    if n < max(reps):
+        raise ValueError(f"inputs leading axis {n} < max(reps)={max(reps)}")
+
+    def program(k):
+        def body(i, acc):
+            sl = jax.tree_util.tree_map(lambda x: x[i], inputs)
+            out = fn(sl)
+            for leaf in jax.tree_util.tree_leaves(out):
+                acc = acc + jnp.sum(leaf).astype(jnp.float32)
+            return acc
+        return jax.jit(lambda: lax.fori_loop(0, k, body, jnp.float32(0.0)))
+
+    walls = []
+    for k in reps:
+        run = program(k)
+        jax.device_get(run())                      # compile + first result
+        best = float("inf")
+        for _ in range(num_runs):
+            t0 = time.perf_counter()
+            jax.device_get(run())
+            best = min(best, time.perf_counter() - t0)
+        walls.append(best)
+
+    per_call = (walls[-1] - walls[0]) / (reps[-1] - reps[0])
+    return OnDeviceResult(per_call, tuple(walls), tuple(reps))
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """Capture an XLA profiler trace (TensorBoard xplane) around a block.

@@ -56,7 +56,10 @@ def _first_element(params: ParamsLGSSM, y0):
 
 
 def _generic_element(params: ParamsLGSSM, y):
-    """Element for t >= 1 (predict through F,Q then update with y)."""
+    """Element for t >= 1 (predict through F,Q then update with y).
+
+    Reference form, one step at a time — kept as the oracle for
+    :func:`_elements_time_invariant`, which is what the filter runs."""
     F, Q = params.dynamics_matrix, params.dynamics_covariance
     H, R = params.emission_matrix, params.emission_covariance
     c, d = _biases(params)
@@ -71,6 +74,49 @@ def _generic_element(params: ParamsLGSSM, y):
     J = symmetrize(HF.T @ psd_solve(S, HF))
     eta = HF.T @ psd_solve(S, resid)
     return A, b, C, J, eta
+
+
+def _elements_time_invariant(params: ParamsLGSSM, emissions):
+    """All T filtering elements, with the constant algebra hoisted.
+
+    For a time-invariant model the t>=1 element matrices (A, C, J) do not
+    depend on y_t at all, and (b, eta) are AFFINE in y_t. A vmap of
+    :func:`_generic_element` re-runs the (dy,dy) psd_solve and all the
+    small constant matmuls T times; here the solves run once and the
+    per-step work collapses to two (T,dy)x(dy,dx) matmuls plus
+    broadcasts of the constant matrices. On-device effect is small —
+    the construction was ~1 ms of the 21 ms 1M-step filter wall
+    (BENCHLOG round 3, slope-harness protocol) — but it shrinks the
+    graph and the FLOP count at zero cost."""
+    F, Q = params.dynamics_matrix, params.dynamics_covariance
+    H, R = params.emission_matrix, params.emission_covariance
+    c, d = _biases(params)
+    T = emissions.shape[0]
+    dx = F.shape[0]
+
+    S = symmetrize(H @ Q @ H.T + R)
+    K = psd_solve(S, H @ Q).T
+    I = jnp.eye(dx, dtype=F.dtype)
+    IKH = I - K @ H
+    A1 = IKH @ F
+    C1 = symmetrize(IKH @ Q)
+    HF = H @ F
+    SinvHF = psd_solve(S, HF)
+    J1 = symmetrize(HF.T @ SinvHF)
+
+    resid = emissions[1:] - d - H @ c            # (T-1, dy)
+    b1 = c + resid @ K.T
+    eta1 = resid @ SinvHF
+
+    A0, b0, C0, J0, eta0 = _first_element(params, emissions[0])
+    bc = lambda M: jnp.broadcast_to(M, (T - 1, dx, dx))
+    return (
+        jnp.concatenate([A0[None], bc(A1)], axis=0),
+        jnp.concatenate([b0[None], b1], axis=0),
+        jnp.concatenate([C0[None], bc(C1)], axis=0),
+        jnp.concatenate([J0[None], bc(J1)], axis=0),
+        jnp.concatenate([eta0[None], eta1], axis=0),
+    )
 
 
 def _minv_woodbury(C1, J2):
@@ -155,6 +201,12 @@ def chunked_associative_scan(combine, elems, identity, chunk: int = 128,
     flip → forward scan with the SAME operator → flip (so, as there, a
     time-ordered suffix product wants the caller to pass the
     operand-swapped operator).
+
+    (A fused in-kernel sequential scan replacing step 2's per-combine
+    kernel launches was built and measured — NEUTRAL-to-slightly-slower
+    at T=1M on v5e (20.8 → 22.0 ms, slope-harness protocol) because the
+    combine is VPU-compute-bound and launch overhead is already hidden;
+    deleted, BENCHLOG round 3.)
     """
     if reverse:
         flipped = tuple(jnp.flip(x, axis=0) for x in elems)
@@ -300,11 +352,7 @@ def parallel_kalman_filter(params: ParamsLGSSM, emissions: jax.Array,
     F, Q = params.dynamics_matrix, params.dynamics_covariance
     c, _ = _biases(params)
 
-    first = _first_element(params, emissions[0])
-    rest = vmap(lambda y: _generic_element(params, y))(emissions[1:])
-    elems = tuple(
-        jnp.concatenate([f[None], r], axis=0) for f, r in zip(first, rest)
-    )
+    elems = _elements_time_invariant(params, emissions)
 
     _, b_all, C_all, _, _ = _run_filter_scan(
         elems, solver, _resolve_chunk(chunk, len(emissions)))
@@ -316,7 +364,11 @@ def parallel_kalman_filter(params: ParamsLGSSM, emissions: jax.Array,
         jnp.einsum("ik,tkl,jl->tij", F, filtered_covs, F) + Q
     )
 
-    ll = _marginal_loglik(params, emissions, filtered_means, filtered_covs)
+    # predicted_*[t] is the prediction of t+1 given 0..t, so the loglik's
+    # per-step prior at t is predicted_*[t-1] — reuse it instead of
+    # re-running the (T,dx,dx) propagation einsums.
+    ll = _marginal_loglik(params, emissions,
+                          predicted_means[:-1], predicted_covs[:-1])
     return PosteriorKalman(ll, filtered_means, filtered_covs,
                            predicted_means, predicted_covs)
 
@@ -511,20 +563,20 @@ def _marginal_loglik_tv(m0, P0, Fs, cs, Qs, Hs, ds, Rs, emissions,
     return jnp.sum(mvn_logpdf(emissions, yhat, S))
 
 
-def _marginal_loglik(params, emissions, filtered_means, filtered_covs):
-    """Innovation-form marginal log-likelihood from the filtered moments."""
-    F, Q = params.dynamics_matrix, params.dynamics_covariance
+def _marginal_loglik(params, emissions, predicted_means, predicted_covs):
+    """Innovation-form marginal log-likelihood.
+
+    ``predicted_means[t]``/``predicted_covs[t]`` is the one-step-ahead
+    prediction of step t+1 (length T-1 suffices — the caller passes
+    ``predicted_*[:-1]``); the t=0 term uses the prior."""
     H, R = params.emission_matrix, params.emission_covariance
-    c, d = _biases(params)
+    _, d = _biases(params)
     from bayesianfiltering_tpu.distributions import mvn_logpdf
 
     pm_prev = jnp.concatenate(
-        [params.initial_mean[None],
-         jnp.einsum("ij,tj->ti", F, filtered_means[:-1]) + c], axis=0)
+        [params.initial_mean[None], predicted_means], axis=0)
     pP_prev = jnp.concatenate(
-        [params.initial_covariance[None],
-         symmetrize(jnp.einsum("ik,tkl,jl->tij", F, filtered_covs[:-1], F) + Q)],
-        axis=0)
+        [params.initial_covariance[None], predicted_covs], axis=0)
     yhat = jnp.einsum("ij,tj->ti", H, pm_prev) + d
     S = symmetrize(jnp.einsum("ik,tkl,jl->tij", H, pP_prev, H) + R)
     return jnp.sum(mvn_logpdf(emissions, yhat, S))

@@ -144,20 +144,16 @@ def _tri_inv(L, n):
 # Kernel body
 # ---------------------------------------------------------------------------
 
-def _combine_kernel(dx: int,
-                    a1_ref, b1_ref, c1_ref, j1_ref, e1_ref,
-                    a2_ref, b2_ref, c2_ref, j2_ref, e2_ref,
-                    a_ref, b_ref, c_ref, j_ref, e_ref):
-    A1 = _load(a1_ref, dx, dx)
-    C1 = _load(c1_ref, dx, dx)
-    J1 = _load(j1_ref, dx, dx)
-    A2 = _load(a2_ref, dx, dx)
-    C2 = _load(c2_ref, dx, dx)
-    J2 = _load(j2_ref, dx, dx)
-    b1 = _loadv(b1_ref, dx)
-    e1 = _loadv(e1_ref, dx)
-    b2 = _loadv(b2_ref, dx)
-    e2 = _loadv(e2_ref, dx)
+def _combine_lattice(dx: int, left, right):
+    """The Woodbury filtering combine on scalar lattices (dicts of
+    lane-wide rows). ``left``/``right`` are 5-tuples of lattices
+    (A, b, C, J, η); returns the combined 5-tuple of lattices. Pure
+    compute, separated from the ref plumbing of :func:`_combine_kernel`.
+    (An in-kernel sequential chunk scan built on this body measured
+    neutral-to-slower vs per-combine launches — the combine is
+    VPU-compute-bound — and was deleted; BENCHLOG round 3.)"""
+    A1, b1, C1, J1, e1 = left
+    A2, b2, C2, J2, e2 = right
 
     # ε-jittered C1 (ops/associative._minv_woodbury: trace-relative floor
     # keeps rank-deficient filtering covariances factorizable)
@@ -204,9 +200,6 @@ def _combine_kernel(dx: int,
 
     A2M = _mm(A2, Minv, dx, dx, dx)
     A = _mm(A2M, A1, dx, dx, dx)
-    for i in range(dx):
-        for j in range(dx):
-            a_ref[i * dx + j, :] = A[(i, j)]
 
     # b = A2M (b1 + C1 η2) + b2
     s = _mv(C1, e2, dx, dx)
@@ -214,17 +207,17 @@ def _combine_kernel(dx: int,
         s[i] = s[i] + b1[i]
     bv = _mv(A2M, s, dx, dx)
     for i in range(dx):
-        b_ref[i, :] = bv[i] + b2[i]
+        bv[i] = bv[i] + b2[i]
 
     # C = sym(A2M C1 A2ᵀ + C2)
     T1 = _mm(A2M, C1, dx, dx, dx)
     T2 = _mmt(T1, A2, dx, dx, dx)
+    Cout = {}
     for i in range(dx):
         for j in range(i, dx):
             v = 0.5 * (T2[(i, j)] + T2[(j, i)] + C2[(i, j)] + C2[(j, i)])
-            c_ref[i * dx + j, :] = v
-            if i != j:
-                c_ref[j * dx + i, :] = v
+            Cout[(i, j)] = v
+            Cout[(j, i)] = v
 
     # N⁻¹ = M⁻ᵀ: index-transpose the Minv lattice
     Ninv = {(i, j): Minv[(j, i)] for i in range(dx) for j in range(dx)}
@@ -240,18 +233,37 @@ def _combine_kernel(dx: int,
         for l in range(1, dx):
             acc += A1[(l, i)] * tmp[l]
         ev[i] = acc + e1[i]
-        e_ref[i, :] = ev[i]
 
     # J = sym(A1ᵀ N⁻¹ J2 A1 + J1)
     NJ = _mm(Ninv, J2, dx, dx, dx)
     NJA = _mm(NJ, A1, dx, dx, dx)
     JJ = _mtm(A1, NJA, dx, dx, dx)
+    Jout = {}
     for i in range(dx):
         for j in range(i, dx):
             v = 0.5 * (JJ[(i, j)] + JJ[(j, i)] + J1[(i, j)] + J1[(j, i)])
-            j_ref[i * dx + j, :] = v
-            if i != j:
-                j_ref[j * dx + i, :] = v
+            Jout[(i, j)] = v
+            Jout[(j, i)] = v
+
+    return A, bv, Cout, Jout, ev
+
+
+def _combine_kernel(dx: int,
+                    a1_ref, b1_ref, c1_ref, j1_ref, e1_ref,
+                    a2_ref, b2_ref, c2_ref, j2_ref, e2_ref,
+                    a_ref, b_ref, c_ref, j_ref, e_ref):
+    left = (_load(a1_ref, dx, dx), _loadv(b1_ref, dx), _load(c1_ref, dx, dx),
+            _load(j1_ref, dx, dx), _loadv(e1_ref, dx))
+    right = (_load(a2_ref, dx, dx), _loadv(b2_ref, dx), _load(c2_ref, dx, dx),
+             _load(j2_ref, dx, dx), _loadv(e2_ref, dx))
+    A, bv, C, J, ev = _combine_lattice(dx, left, right)
+    for i in range(dx):
+        b_ref[i, :] = bv[i]
+        e_ref[i, :] = ev[i]
+        for j in range(dx):
+            a_ref[i * dx + j, :] = A[(i, j)]
+            c_ref[i * dx + j, :] = C[(i, j)]
+            j_ref[i * dx + j, :] = J[(i, j)]
 
 
 # ---------------------------------------------------------------------------

@@ -55,7 +55,11 @@ from jax import lax, vmap
 from bayesianfiltering_tpu.config import with_matmul_precision
 from bayesianfiltering_tpu.ops import ukf as _ukf
 from bayesianfiltering_tpu.ops.associative import parallel_kalman_smoother_tv
-from bayesianfiltering_tpu.utils.linalg import psd_solve, symmetrize
+from bayesianfiltering_tpu.utils.linalg import (
+    project_to_psd_fast,
+    psd_solve,
+    symmetrize,
+)
 from bayesianfiltering_tpu.utils.sigma_points import sigma_points
 
 
@@ -143,7 +147,12 @@ def _slr_dynamics(f, m, P, Q, q0, u, uparams, additive):
         2.0 * (lamda + n_aug))
     F = psd_solve(P, D).T
     c = mu_p - F @ m
-    Om = symmetrize(symmetrize(Phi) - F @ P @ F.T)
+    # The SLR residual Ω = Φ⁺ − F P Fᵀ is PSD in exact arithmetic but goes
+    # INDEFINITE in f32 when the quadrature's f-evaluations carry large
+    # coordinates (BOT at T=500: |x| ~ 1e3 ⇒ ~6e-5 cancellation noise in
+    # Φ/D vs Q ~ 1e-5; measured min eig −1.4e-5 → NaN Cholesky downstream).
+    # Matmul-only PSD projection clamps the noise-negative eigenvalues.
+    Om = project_to_psd_fast(symmetrize(Phi) - F @ P @ F.T)
     return F, c, Om
 
 
@@ -165,7 +174,9 @@ def _slr_emission(h, m, P, R, r0, u, uparams, additive):
         mu_y, S, C = _ukf._ut_emission_moments(m, P, h, R, u, uparams, r0)
     H = psd_solve(P, C.T).T
     d = mu_y - H @ m
-    Om = symmetrize(S - H @ P @ H.T)
+    # PSD-project the SLR residual (see _slr_dynamics: f32 cancellation at
+    # large coordinates makes it indefinite).
+    Om = project_to_psd_fast(S - H @ P @ H.T)
     return H, d, Om
 
 
@@ -406,7 +417,7 @@ def _iterate_lm(linearize, run, cost_fn, nom_m, nom_P, num_iter, lam0):
 
     def body(carry, _):
         m, P, lam = carry
-        stacks, ys = linearize(m, P)
+        stacks, ys, _nom = linearize(m, P)
         Qs, Rs = stacks[2], stacks[5]
         cost_here = cost_fn(m, Qs, Rs)
         aug = _lm_augment(stacks, ys, m, lam)

@@ -36,8 +36,10 @@ from experiments.common import latex_table, print_summary, run_comparison
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seq-length", type=int, default=100,
-                    help="default 100: the associative form is f32-dynamic-range-limited\n                    on this unstable-coordinate model at T=500 (BENCHLOG round 3)")
+    ap.add_argument("--seq-length", type=int, default=500,
+                    help="the canonical T=500 works since deviation-space "
+                         "recentering + SLR PSD projection (round 3); "
+                         "earlier builds were f32-limited above ~T=200")
     ap.add_argument("--n-sim", type=int, default=20)
     ap.add_argument("--num-iter", type=int, default=8)
     ap.add_argument("--latex", action="store_true")

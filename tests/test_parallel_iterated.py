@@ -390,6 +390,31 @@ class TestWrappedEmissions:
         assert float(aux.step_norms[-1]) < 0.05      # converged (was ~130)
         assert rm < rm_erts                          # 0.095 vs 0.146
 
+    def test_ipls_slr_residual_psd_projection_t500(self):
+        """The SLR residual Ω = Φ⁺ − F P Fᵀ goes INDEFINITE in f32 at
+        large coordinates (BOT T=500: min eig −1.4e-5 vs Q ~ 1e-5 —
+        measured), which NaN'd the IPLS outright. With the matmul-only
+        PSD projection + recentering it converges and beats the
+        sequential URTS."""
+        import bayesianfiltering_tpu.inference as gf
+        from bayesianfiltering_tpu.ops.parallel_iterated import (
+            parallel_iterated_sigma_point_smoother,
+        )
+        from bayesianfiltering_tpu.ops.ukf import ParamsUKF
+
+        model, params, _ = zoo.range_bearing_tracking()
+        inputs = zoo.bot_experiment_inputs(500)
+        st, em = model.sample(params, jr.PRNGKey(1), 500, inputs=inputs)
+        up = ParamsUKF(1.0, 0.0, 0.0)
+        urts = gf.unscented_rts_smoother(params, up, em, inputs=inputs)
+        rm_urts = float(jnp.sqrt(jnp.mean((urts.smoothed_means - st) ** 2)))
+        post, aux = parallel_iterated_sigma_point_smoother(
+            params, up, em, num_iter=8, inputs=inputs, damping=0.7,
+            nominal="filter")
+        rm = float(jnp.sqrt(jnp.mean((post.smoothed_means - st) ** 2)))
+        assert bool(jnp.isfinite(post.smoothed_means).all())
+        assert rm < rm_urts                    # 0.177 vs 0.220
+
     def test_recenter_is_a_numerical_noop_when_well_scaled(self):
         _, p, _ = zoo.scalar_growth()
         ys = jr.normal(jr.PRNGKey(2), (200, 1))

@@ -50,6 +50,27 @@ class TestTimeShardedParallelKF:
         assert bool(jnp.all(jnp.isfinite(post.filtered_means)))
 
 
+class TestElementConstruction:
+    def test_hoisted_elements_match_per_step_oracle(self):
+        """_elements_time_invariant (constant algebra hoisted out of the T
+        axis) must equal the per-step _first_element/_generic_element
+        construction it replaced — that pair stays as the oracle."""
+        from bayesianfiltering_tpu.ops import associative as A
+
+        lg = zoo.linear_gaussian_lgssm(3, 2)
+        model, params, _ = zoo.linear_gaussian(3, 2)
+        _, emissions = model.sample(params, jr.PRNGKey(7), 64)
+
+        hoisted = A._elements_time_invariant(lg, emissions)
+        first = A._first_element(lg, emissions[0])
+        rest = jax.vmap(lambda y: A._generic_element(lg, y))(emissions[1:])
+        ref = tuple(jnp.concatenate([f[None], r], axis=0)
+                    for f, r in zip(first, rest))
+        for h, r in zip(hoisted, ref):
+            assert h.shape == r.shape
+            np.testing.assert_allclose(h, r, rtol=1e-5, atol=1e-6)
+
+
 class TestParallelCombineSolvers:
     def test_woodbury_matches_native(self):
         """The matmul-only Woodbury combine must agree with the native-solve

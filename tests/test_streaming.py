@@ -78,6 +78,19 @@ class TestDiagnostics:
                                     num_runs=2)
         assert res.best > 0 and res.compile_time >= res.best * 0.0
 
+    def test_benchmark_on_device_slope(self):
+        # Correctness of the harness, not timing: every fori_loop
+        # iteration must actually run (the carry folds in each output), so
+        # K=4 wall >= K=1 wall and the slope is finite/non-negative.
+        xs = jnp.arange(4 * 256, dtype=jnp.float32).reshape(4, 256)
+        res = diagnostics.benchmark_on_device(
+            lambda x: jnp.cumsum(x**2), xs, reps=(1, 4), num_runs=2)
+        assert res.reps == (1, 4)
+        assert res.walls[1] > 0 and res.per_call == pytest.approx(
+            (res.walls[1] - res.walls[0]) / 3)
+        with pytest.raises(ValueError, match="leading axis"):
+            diagnostics.benchmark_on_device(lambda x: x, xs, reps=(1, 9))
+
     def test_check_finite_raises(self):
         with pytest.raises(FloatingPointError, match="bad"):
             diagnostics.check_finite({"a": jnp.ones(3),
