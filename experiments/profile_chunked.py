@@ -46,6 +46,16 @@ def smooth(y):
     return A.parallel_kalman_smoother(params, y, chunk=128)
 
 
+def ss_filt(y):
+    from bayesianfiltering_tpu.ops import steady_state as SS
+    return SS.steady_state_kalman_filter(params, y)
+
+
+def ss_smooth(y):
+    from bayesianfiltering_tpu.ops import steady_state as SS
+    return SS.steady_state_kalman_smoother(params, y)
+
+
 # Row selection: each full-filter/smoother rep program costs a ~150 s
 # compile through the tunnel, so one invocation per row keeps runs under
 # the 590 s shell cap. No arg = the cheap dispatch-inclusive A/B rows.
@@ -71,7 +81,8 @@ else:
 
     K = 4
     ys_all = jr.normal(jr.fold_in(key, 3), (K, T, dy))
-    fn = {"elements": elements, "filter": filt, "smoother": smooth}[which]
+    fn = {"elements": elements, "filter": filt, "smoother": smooth,
+          "ss_filter": ss_filt, "ss_smoother": ss_smooth}[which]
     r = benchmark_on_device(fn, ys_all, reps=(1, K))
     print(f"[on-device] {which:28s} {r.per_call*1e3:8.2f} ms/call "
           f"({T/r.per_call/1e6:6.2f}M steps/s)   walls {r.walls}",
