@@ -246,6 +246,10 @@ _BLOCK_BASE = 16
 # the BASELINE dx=512 config hit it), while no real workload factorizes
 # BATCHED matrices that size (banks are d <= 32; larger ns appear unbatched).
 _BLOCK_MAX = 128
+# At or below this size the scalar lattice has comparable op count to the
+# column-vectorized forms and avoids tiny-contraction einsums; above it the
+# columns win outright (6.1× at n=32 on the (512,·,·) EKF headline bank).
+_COLS_MIN = 4
 
 
 def _chol_unrolled(S: jax.Array) -> jax.Array:
@@ -295,6 +299,53 @@ def _tri_inv_unrolled(L: jax.Array) -> jax.Array:
     return jnp.stack(rows, axis=-2)
 
 
+def _chol_cols(S: jax.Array) -> jax.Array:
+    """Column-vectorized Cholesky–Banachiewicz: n unrolled column steps,
+    each ONE batched matvec (``L[:, :j] @ L[j, :j]``) plus an rsqrt scale.
+
+    This is the default batched XLA path: the scalar-lattice
+    :func:`_chol_unrolled` emits ~n³/6 tiny (batch,)-shaped ops whose
+    fused-kernel launches dominate the wall (measured on the EKF dx=64
+    headline: 907 µs/step for the (512,32,32) chol+inv vs 149 µs for this
+    form + :func:`_solve_fwd_unrolled` — BENCHLOG round 3). The lattice
+    version remains the in-kernel base for Pallas paths, where every
+    statement is a VMEM op and Mosaic cannot lower stacked matvecs.
+    """
+    n = S.shape[-1]
+    idx = jnp.arange(n)
+    cols = []
+    for j in range(n):
+        v = S[..., :, j]
+        if j:
+            Lb = jnp.stack(cols, axis=-1)                    # (..., n, j)
+            v = v - jnp.einsum("...ik,...k->...i", Lb, Lb[..., j, :],
+                               precision=_HI)
+        d = jax.lax.rsqrt(v[..., j])
+        cols.append(v * d[..., None] * (idx >= j))
+    return jnp.stack(cols, axis=-1)
+
+
+def _solve_fwd_unrolled(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Forward substitution ``L X = b`` for (..., n, m) RHS: n unrolled row
+    steps, each one batched matvec over the already-solved rows (the
+    column-vectorized companion of :func:`_chol_cols`)."""
+    n = L.shape[-1]
+    rows = []
+    for i in range(n):
+        r = b[..., i, :]
+        if i:
+            X = jnp.stack(rows, axis=-2)                     # (..., i, m)
+            r = r - jnp.einsum("...k,...km->...m", L[..., i, :i], X,
+                               precision=_HI)
+        rows.append(r / L[..., i, i][..., None])
+    return jnp.stack(rows, axis=-2)
+
+
+def _tri_inv_cols(L: jax.Array) -> jax.Array:
+    eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
+    return _solve_fwd_unrolled(L, eye)
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -312,8 +363,11 @@ def tri_inv_lower(L: jax.Array) -> jax.Array:
     if n > _BLOCK_MAX or (n > _BLOCK_BASE and _effectively_unbatched(L)):
         eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
         return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    if n <= _BLOCK_BASE:
+    if n <= _COLS_MIN:
         return _tri_inv_unrolled(L)
+    # Batched XLA path: row-vectorized substitution — n chunky matvec ops
+    # instead of the lattice's ~n³/6 tiny ones (see _chol_cols).
+    return _tri_inv_cols(L)
     p = _next_pow2(n)
     if p != n:
         eye_pad = jnp.eye(p, dtype=L.dtype)
@@ -393,6 +447,15 @@ def chol_and_inv_lower(S: jax.Array, base: int = None,
         L = jnp.linalg.cholesky(S)
         eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
         return L, jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    if not force_blocked and n > _COLS_MIN:
+        # Batched XLA path: the column-vectorized factorization + row-
+        # vectorized substitution (~2n chunky matvec ops) beat the blocked
+        # lattice recursion 6.1× on the (512,32,32) EKF headline bank
+        # (907 → 149 µs/step, BENCHLOG round 3). The lattice recursion below
+        # stays for Pallas kernels, where Mosaic cannot lower the stacked
+        # matvecs and every lattice statement is a cheap VMEM op.
+        L = _chol_cols(S)
+        return L, _tri_inv_cols(L)
     if n <= base:
         L = _chol_unrolled(S)
         return L, _tri_inv_unrolled(L)
@@ -441,6 +504,8 @@ def fast_cholesky(S: jax.Array) -> jax.Array:
     unrolled base (see :func:`_effectively_unbatched`)."""
     n = S.shape[-1]
     if n <= _BLOCK_MAX and not (n > _BLOCK_BASE and _effectively_unbatched(S)):
+        if n > _COLS_MIN:
+            return _chol_cols(S)
         return cholesky_blocked(S)
     return jnp.linalg.cholesky(S)
 
