@@ -21,3 +21,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_files():
+    """Bound per-process compile-cache growth: the full suite is ~1000 XLA
+    CPU compiles, and a single process segfaults inside backend_compile
+    once enough executables accumulate (round-3 verdict). Belt next to the
+    per-file xdist workers (pyproject addopts)."""
+    yield
+    jax.clear_caches()
