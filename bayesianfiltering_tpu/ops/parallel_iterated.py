@@ -349,26 +349,32 @@ def _make_map_cost(params, emissions, inputs_arr, slice_noise):
 
 def _initial_nominal(params, emissions, inputs, inputs_arr, slice_noise,
                      nominal, T):
-    """Resolve the nominal-trajectory seed.
+    """Resolve the nominal-trajectory seed → ``(nom_means, nom_covs|None)``.
 
     ``None``/"rollout" = deterministic dynamics rollout (pure log-depth, the
     paper's init — fine for stable dynamics). "filter" = one sequential EKF
-    pass (its filtered means): O(T) once, but the robust choice for UNSTABLE
-    dynamics, where the rollout diverges from the data exponentially (the
-    BOT family's 1.05-drift: seed-dependent heavy tails at T=100, garbage at
-    T=500 — measured round 3, experiments/smoother_experiment.py). An array
-    seeds directly."""
+    pass: O(T) once, but the robust choice for UNSTABLE dynamics, where the
+    rollout diverges from the data exponentially (the BOT family's
+    1.05-drift: seed-dependent heavy tails at T=100, garbage at T=500 —
+    measured round 3, experiments/smoother_experiment.py). The filter seed
+    also returns the FILTERED COVARIANCES: the IPLS's first SLR pass then
+    linearizes over realistic posterior spreads instead of the broadcast
+    prior P0 — with a wide P0 and a stiff emission noise (BOT: R = 2.5e-5)
+    the P0-spread SLR residual Ω ≫ R drowns the measurements and the
+    iteration converges to an inflated fixed point (round-3 weak #5;
+    measured round 4: filter-P seeding takes BOT median RMSE 0.29 → 0.047).
+    An array seeds the means directly."""
     if nominal is None or (isinstance(nominal, str) and nominal == "rollout"):
-        return _rollout(params, T, inputs_arr, slice_noise)
+        return _rollout(params, T, inputs_arr, slice_noise), None
     if isinstance(nominal, str):
         if nominal != "filter":
             raise ValueError(f"unknown nominal seed {nominal!r}; expected "
                              "'rollout', 'filter', or a (T, dx) array")
         from bayesianfiltering_tpu.inference import extended_kalman_filter
 
-        return extended_kalman_filter(params, emissions,
-                                      inputs=inputs).filtered_means
-    return nominal
+        post = extended_kalman_filter(params, emissions, inputs=inputs)
+        return post.filtered_means, post.filtered_covariances
+    return nominal, None
 
 
 def _iterate(linearize, run, nom_m, nom_P, num_iter, damping=1.0):
@@ -479,9 +485,10 @@ def parallel_iterated_extended_smoother(
     jac = _jacobians(params)
     m0, P0 = params.initial_mean, params.initial_covariance
 
-    nom_m = _initial_nominal(params, emissions, inputs, inputs_arr,
-                             slice_noise, nominal, T)
-    nom_P = jnp.broadcast_to(P0, (T,) + P0.shape)
+    nom_m, nom_P = _initial_nominal(params, emissions, inputs, inputs_arr,
+                                    slice_noise, nominal, T)
+    if nom_P is None:
+        nom_P = jnp.broadcast_to(P0, (T,) + P0.shape)
 
     def linearize(m, P):
         del P  # first-order linearization uses means only
@@ -548,9 +555,10 @@ def parallel_iterated_sigma_point_smoother(
     slice_noise = lambda t: _slice_noise(params, t)
     m0, P0 = params.initial_mean, params.initial_covariance
 
-    nom_m = _initial_nominal(params, emissions, inputs, inputs_arr,
-                             slice_noise, nominal, T)
-    nom_P = jnp.broadcast_to(P0, (T,) + P0.shape)
+    nom_m, nom_P = _initial_nominal(params, emissions, inputs, inputs_arr,
+                                    slice_noise, nominal, T)
+    if nom_P is None:
+        nom_P = jnp.broadcast_to(P0, (T,) + P0.shape)
 
     def linearize(m, P):
         stacks = _sigma_point_linearize(params, uparams, m, P, inputs_arr,
