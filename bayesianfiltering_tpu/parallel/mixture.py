@@ -211,6 +211,20 @@ def sharded_agsf(
     noise is drawn from the global per-step key and sliced by device index,
     and the gathered reduction re-runs the exact same resampler. Aux
     outputs (Deltas/Lambdas/grads) are not returned by the sharded variant.
+
+    ``reduction="local"`` swaps the gathered reduction for a shard-local
+    mass-preserving systematic reduction (the parallel/particle.py
+    pattern): each device resamples its own M·N·L/n → M/n slice against
+    locally renormalized weights and carries its local mixture mass
+    forward, so the per-step collective cost drops to the two reweight
+    scalars — no bank gather at all. This is the mode that makes the
+    "M ≥ 10⁵ components" scaling story real: at that size the gathered
+    bank (M·N·L·(dx²+dx+1) floats per step) is the wire bottleneck.
+    Statistically equivalent to the global reduction (same
+    weight-proportional expected counts; tests/test_parallel.py pins the
+    estimator-level agreement) but not bit-equal: component support never
+    crosses shards, and shard masses rebalance only through the global
+    reweight.
     """
     import bayesianfiltering_tpu.inference as gf
     from bayesianfiltering_tpu import containers
@@ -323,18 +337,39 @@ def sharded_agsf(
             new_w = unnorm / total
             step_ll = jnp.log(total) + shift
 
-            # -- reduce M*N*L -> M: gather, identical global reduction -
-            g_m = jnp.reshape(lax.all_gather(fm, axis_name), (-1, dx))
-            g_P = jnp.reshape(lax.all_gather(fP, axis_name), (-1, dx, dx))
-            g_w = jnp.reshape(lax.all_gather(new_w, axis_name), (-1,))
-            reduced = containers.reduce_gaussian_sum(
-                containers.GaussianSum(g_m, g_P, g_w), M, key_reduce,
-                reduction,
-            )
-            mloc = lax.dynamic_slice_in_dim(reduced.means, dev * Ml, Ml)
-            Ploc = lax.dynamic_slice_in_dim(reduced.covariances, dev * Ml,
-                                            Ml)
-            wloc = lax.dynamic_slice_in_dim(reduced.weights, dev * Ml, Ml)
+            if reduction == "local":
+                # -- shard-local mass-preserving reduction: no gather ---
+                # Each device resamples its own slice against locally
+                # renormalized weights; kept components share the local
+                # mass equally, so global mass (=1) is preserved exactly.
+                from bayesianfiltering_tpu.utils.resampling import (
+                    systematic_resample,
+                )
+
+                local_mass = jnp.sum(new_w)
+                n_local = new_w.shape[0]
+                lw = jnp.where(local_mass > 0, new_w / local_mass,
+                               1.0 / n_local)
+                idx = systematic_resample(
+                    jr.fold_in(key_reduce, dev), lw, Ml)
+                mloc = jnp.take(fm, idx, axis=0)
+                Ploc = jnp.take(fP, idx, axis=0)
+                wloc = jnp.full((Ml,), 1.0 / Ml, new_w.dtype) * local_mass
+            else:
+                # -- reduce M*N*L -> M: gather, identical global reduction
+                g_m = jnp.reshape(lax.all_gather(fm, axis_name), (-1, dx))
+                g_P = jnp.reshape(lax.all_gather(fP, axis_name),
+                                  (-1, dx, dx))
+                g_w = jnp.reshape(lax.all_gather(new_w, axis_name), (-1,))
+                reduced = containers.reduce_gaussian_sum(
+                    containers.GaussianSum(g_m, g_P, g_w), M, key_reduce,
+                    reduction,
+                )
+                mloc = lax.dynamic_slice_in_dim(reduced.means, dev * Ml, Ml)
+                Ploc = lax.dynamic_slice_in_dim(reduced.covariances,
+                                                dev * Ml, Ml)
+                wloc = lax.dynamic_slice_in_dim(reduced.weights, dev * Ml,
+                                                Ml)
 
             outputs = {"weights": wloc, "means": mloc, "covariances": Ploc}
             return (mloc, Ploc, wloc), (outputs, step_ll)

@@ -240,6 +240,41 @@ class TestShardedGSF:
         np.testing.assert_allclose(out.means, ref.means, rtol=5e-4,
                                    atol=5e-4)
 
+    def test_sharded_agsf_local_reduction_statistics(self):
+        """reduction="local": no bank gather, shard-local mass-preserving
+        systematic reduction. Not bit-equal to the global reduction, so pin
+        (a) exact weight normalization, (b) estimator-level agreement of
+        the mixture point estimate with the gathered mode at a bank size
+        where the docstring's scaling story applies (M*N*L >= 1e4)."""
+        from bayesianfiltering_tpu.parallel import make_mesh
+        from bayesianfiltering_tpu.parallel.mixture import sharded_agsf
+
+        mesh = make_mesh((8,), ("mixture",))
+        model, params, _ = zoo.linear_gaussian(1, 1)
+        T = 8
+        _, emissions = model.sample(params, jr.PRNGKey(1), T)
+        num_components = [640, 4, 4]  # M*N*L = 10240
+        kw = dict(key=jr.PRNGKey(7), opt_args=(0.2, 0.2))
+        ref = sharded_agsf(params, emissions, num_components, mesh,
+                           reduction="systematic", **kw)
+        out = sharded_agsf(params, emissions, num_components, mesh,
+                           reduction="local", **kw)
+        # (a) mass preservation: weights normalized exactly each step
+        np.testing.assert_allclose(np.sum(out.weights, axis=0),
+                                   np.ones(T), rtol=1e-5)
+        # (b) point estimates agree at resampling-noise level
+        pt_ref = np.einsum("mt,mtd->td", ref.weights, ref.means)
+        pt_out = np.einsum("mt,mtd->td", out.weights, out.means)
+        spread = np.sqrt(np.einsum(
+            "mt,mtdd->td", ref.weights, ref.covariances)).mean()
+        assert np.max(np.abs(pt_ref - pt_out)) < 0.5 * max(spread, 0.1), (
+            pt_ref, pt_out)
+        # Loglik agreement at resampling-noise level: the totals here are
+        # near zero (|ll| ~ 0.4 at T=8), so a relative tolerance alone is
+        # ill-posed — pin ~0.02 nats/step absolute alongside it.
+        np.testing.assert_allclose(out.marginal_loglik, ref.marginal_loglik,
+                                   rtol=0.05, atol=0.02 * T)
+
     def test_weak_scaling_device_counts(self):
         """Per-device bank constant as the mesh grows: outputs stay
         consistent with the single-device filter at every device count."""
