@@ -64,6 +64,19 @@ def quadratic_measurement(a: float = 0.8, b: float = 0.1,
                    h, r * jnp.eye(1))
 
 
+def sine_quadratic(a: float = 10.0, q: float = 1.0, r: float = 1.0):
+    """1-D f = sin(a·x) + q, g = x·x + r — the "Experiment A" model
+    (ref: docs/notebooks/Experiment A.ipynb cell 2, ``f1``/``g1``;
+    BASELINE.md rows 17-18). The sin(10x) dynamics fold the state into
+    [−1, 1] with ~3 oscillations per unit, and the quadratic emission hides
+    the sign — a severely multimodal posterior that motivates the
+    splitting filters."""
+    f = lambda x, qn, u: jnp.sin(a * x) + qn
+    h = lambda x, rn, u: jnp.dot(x, x) + rn
+    return _bundle(1, 1, 1, 1, jnp.zeros(1), jnp.eye(1), f, q * jnp.eye(1),
+                   h, r * jnp.eye(1))
+
+
 def scalar_growth(q: float = 10.0, r: float = 1.0):
     """Univariate nonlinear growth model (UNGM): the classic severe EKF
     stress test, x' = x/2 + 25x/(1+x²) + 8cos(1.2u), y = x²/20
@@ -367,7 +380,6 @@ def lorenz96(state_dim: int = 40, emission_dim: Optional[int] = None,
     return _bundle(state_dim, state_dim, emission_dim, emission_dim,
                    gamma * jnp.ones(state_dim), jnp.eye(state_dim), f,
                    q * jnp.eye(state_dim), h, R)
-
 
 # ---------------------------------------------------------------------------
 # Nonlinearity test functions (ref: gaussfiltax/nonlinearities.py:1-36),
