@@ -13,6 +13,10 @@ Usage: python experiments/headline_bench.py [--rows ekf,ukf,...]
 from __future__ import annotations
 
 import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
