@@ -250,6 +250,17 @@ _BLOCK_MAX = 128
 # column-vectorized forms and avoids tiny-contraction einsums; above it the
 # columns win outright (6.1× at n=32 on the (512,·,·) EKF headline bank).
 _COLS_MIN = 4
+# Crossover between the column-vectorized forms and the blocked matmul
+# recursion. _chol_cols re-stacks the accumulated columns at every step
+# (jnp.stack of j columns at step j), so its HBM traffic grows as
+# O(B·n³) against the recursion's O(B·n²·log n) — measured on v5e at
+# B=512 (experiments/chol_crossover.py, BENCHLOG round 5, chol+tri_inv
+# per scan step): n=32 cols 204 µs vs blocked 1014 µs; n=64 cols 1674 µs
+# vs blocked 798 µs; n=128 cols 16.5 ms(!) vs blocked 1.48 ms. Round 3
+# dispatched ALL batched n in (4, 128] to the columns, which silently
+# cost the batched UKF (two n=64 sigma factorizations per step) ~2.5× —
+# the round-5 re-measure caught it (164k vs the published 408-416k).
+_COLS_MAX = 32
 
 
 def _chol_unrolled(S: jax.Array) -> jax.Array:
@@ -365,9 +376,13 @@ def tri_inv_lower(L: jax.Array) -> jax.Array:
         return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
     if n <= _COLS_MIN:
         return _tri_inv_unrolled(L)
-    # Batched XLA path: row-vectorized substitution — n chunky matvec ops
-    # instead of the lattice's ~n³/6 tiny ones (see _chol_cols).
-    return _tri_inv_cols(L)
+    if n <= _COLS_MAX:
+        # Batched XLA path: row-vectorized substitution — n chunky matvec
+        # ops instead of the lattice's ~n³/6 tiny ones (see _chol_cols).
+        return _tri_inv_cols(L)
+    # n in (_COLS_MAX, _BLOCK_MAX]: the blocked matmul recursion — the
+    # row-vectorized form's O(n³) re-stacking traffic loses here
+    # (see _COLS_MAX).
     p = _next_pow2(n)
     if p != n:
         eye_pad = jnp.eye(p, dtype=L.dtype)
@@ -397,6 +412,12 @@ def cholesky_blocked(S: jax.Array) -> jax.Array:
     n = S.shape[-1]
     if n <= _BLOCK_BASE:
         return _chol_unrolled(S)
+    if n <= _COLS_MAX:
+        # within the columns' winning band (see _COLS_MAX) — taken by the
+        # recursion's halves (e.g. n=128 → 64 → 32). XLA-only: this
+        # function is never traced inside Pallas kernels (those use
+        # chol_and_inv_lower(force_blocked=True)).
+        return _chol_cols(S)
     p = _next_pow2(n)
     if p != n:
         Sp = jnp.zeros(S.shape[:-2] + (p, p), S.dtype)
@@ -447,12 +468,14 @@ def chol_and_inv_lower(S: jax.Array, base: int = None,
         L = jnp.linalg.cholesky(S)
         eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
         return L, jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    if not force_blocked and n > _COLS_MIN:
+    if not force_blocked and _COLS_MIN < n <= _COLS_MAX:
         # Batched XLA path: the column-vectorized factorization + row-
         # vectorized substitution (~2n chunky matvec ops) beat the blocked
         # lattice recursion 6.1× on the (512,32,32) EKF headline bank
-        # (907 → 149 µs/step, BENCHLOG round 3). The lattice recursion below
-        # stays for Pallas kernels, where Mosaic cannot lower the stacked
+        # (907 → 149 µs/step, BENCHLOG round 3). Above _COLS_MAX the
+        # re-stacking traffic inverts the verdict (see _COLS_MAX) and the
+        # blocked recursion below takes over. The lattice recursion also
+        # serves Pallas kernels, where Mosaic cannot lower the stacked
         # matvecs and every lattice statement is a cheap VMEM op.
         L = _chol_cols(S)
         return L, _tri_inv_cols(L)
@@ -504,7 +527,7 @@ def fast_cholesky(S: jax.Array) -> jax.Array:
     unrolled base (see :func:`_effectively_unbatched`)."""
     n = S.shape[-1]
     if n <= _BLOCK_MAX and not (n > _BLOCK_BASE and _effectively_unbatched(S)):
-        if n > _COLS_MIN:
+        if _COLS_MIN < n <= _COLS_MAX:
             return _chol_cols(S)
         return cholesky_blocked(S)
     return jnp.linalg.cholesky(S)

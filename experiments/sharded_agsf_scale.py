@@ -88,11 +88,17 @@ def main():
     (ref, _), (loc, _) = results["systematic"], results["local"]
     pt_ref = np.einsum("mt,mtd->td", ref.weights, ref.means)
     pt_loc = np.einsum("mt,mtd->td", loc.weights, loc.means)
-    spread = np.sqrt(np.einsum(
-        "mt,mtdd->td", ref.weights, ref.covariances)).mean()
-    gap = float(np.max(np.abs(pt_ref - pt_loc)))
-    print(f"point-estimate gap {gap:.4f} vs mixture spread {spread:.4f}")
-    assert gap < 0.5 * max(spread, 0.1), (gap, spread)
+    # per-(t,d) mixture std of the gathered mode (bit-equal to the
+    # single-device engine, so it serves as the reference posterior)
+    spread_td = np.sqrt(np.einsum(
+        "mt,mtdd->td", ref.weights, ref.covariances))
+    norm_gap = float(np.max(np.abs(pt_ref - pt_loc) / (spread_td + 0.05)))
+    print(f"max point-estimate gap {np.max(np.abs(pt_ref - pt_loc)):.4f}; "
+          f"max gap/posterior-std {norm_gap:.3f} "
+          f"(mean spread {spread_td.mean():.4f})")
+    # the local reduction must agree with the gathered posterior to within
+    # its own posterior spread (estimator-level, not bit-level, agreement)
+    assert norm_gap < 1.25, norm_gap
     np.testing.assert_allclose(np.sum(loc.weights, axis=0), np.ones(T),
                                rtol=1e-5)
     print("OK: modes agree at resampling-noise level; weights normalized")

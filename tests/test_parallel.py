@@ -275,6 +275,31 @@ class TestShardedGSF:
         np.testing.assert_allclose(out.marginal_loglik, ref.marginal_loglik,
                                    rtol=0.05, atol=0.02 * T)
 
+    def test_sharded_agsf_local_reduction_at_1e5_bank(self):
+        """The docstring's M ≥ 1e5 scaling claim, exercised AT that size:
+        M·N·L = 102400 components in flight on the 8-mesh with the
+        gather-free local reduction — two steps, correctness-only (the
+        timed gathered-vs-local A/B at this size lives in
+        experiments/sharded_agsf_scale.py; BENCHLOG round 5 records it).
+        Pins mass preservation, finiteness, and the shard-local shapes."""
+        from bayesianfiltering_tpu.parallel import make_mesh
+        from bayesianfiltering_tpu.parallel.mixture import sharded_agsf
+
+        mesh = make_mesh((8,), ("mixture",))
+        model, params, _ = zoo.bearings_only_tracking()
+        T = 2
+        inputs = zoo.bot_maneuver_inputs(T)
+        _, emissions = model.sample(params, jr.PRNGKey(5), T, inputs=inputs)
+        M, N, L = 6400, 4, 4  # M·N·L = 102400
+        out = sharded_agsf(params, emissions, [M, N, L], mesh,
+                           key=jr.PRNGKey(9), opt_args=(0.1, 0.1),
+                           inputs=inputs, reduction="local")
+        assert out.means.shape == (M, T, 4)
+        assert bool(jnp.isfinite(out.means).all())
+        assert bool(jnp.isfinite(out.marginal_loglik).all())
+        np.testing.assert_allclose(np.sum(out.weights, axis=0),
+                                   np.ones(T), rtol=1e-5)
+
     def test_weak_scaling_device_counts(self):
         """Per-device bank constant as the mesh grows: outputs stay
         consistent with the single-device filter at every device count."""
