@@ -166,6 +166,23 @@ def _combine_lattice(dx: int, left, right):
         C1j[(i, i)] = C1[(i, i)] + eps
 
     U = _chol(C1j, dx)
+    # Guard (parity with utils.linalg.cholesky_guarded, which the XLA
+    # combine uses): a combined C is PSD only up to f32 rounding and
+    # EXACTLY rank-deficient on reduced-noise models (BOT: rank dq < dx),
+    # while the ε floor is trace-relative and can sit BELOW the rounding
+    # noise of upstream combines — the unguarded lattice Cholesky then
+    # NaNs individual lanes (sqrt of ≈ −1e-9) and the NaN swallows the
+    # whole scan. Zero the entire factor for such lanes exactly like the
+    # XLA path (U=0 ⇒ inner=I ⇒ M⁻¹=I for that lane). Round-5 root cause
+    # of the TPU-only damped-IEKS non-finiteness at stiff R (BENCHLOG).
+    bad = None
+    for j in range(dx):
+        for i in range(j, dx):
+            flag = ~jnp.isfinite(U[(i, j)])
+            bad = flag if bad is None else jnp.logical_or(bad, flag)
+    for j in range(dx):
+        for i in range(j, dx):
+            U[(i, j)] = jnp.where(bad, 0.0, U[(i, j)])
     # U is lower triangular: fill the upper lattice with zeros for reuse
     zero = 0.0 * tr
     for i in range(dx):

@@ -409,6 +409,33 @@ class TestBankCombine:
         for r, o in zip(ref, out):
             np.testing.assert_allclose(o, r, rtol=2e-5, atol=2e-5)
 
+    def test_indefinite_c_lane_guard_matches_xla(self):
+        """Round-5 regression (TPU damped-IEKS NaNs, BENCHLOG round 5):
+        a combined C can be rank-deficient AND slightly indefinite from
+        f32 rounding (eigenvalue ≈ −1e-9, BELOW the kernel's
+        trace-relative ε floor ≈ 5e-10). The XLA combine survives via
+        cholesky_guarded (whole factor zeroed for that lane, M⁻¹ → I);
+        the lattice kernel must mirror that guard lane-wise instead of
+        NaN-ing the scan."""
+        from bayesianfiltering_tpu.ops import bank_combine as bc
+
+        dx, m = 4, 96
+        left = self._elements(jr.PRNGKey(3), m, dx)
+        right = self._elements(jr.PRNGKey(4), m, dx)
+        # lane 0: C exactly rank-2 with one tiny NEGATIVE eigenvalue
+        q, _ = jnp.linalg.qr(jr.normal(jr.PRNGKey(5), (dx, dx)))
+        evals = jnp.array([1e-2, 1e-2, -1e-8, 0.0])  # −1e-8 ≪ −ε ≈ −5e-10
+        C_bad = (q * evals) @ q.T
+        C = left[2].at[0].set(C_bad)
+        left = (left[0], left[1], C, left[3], left[4])
+        ref = bc._combine_xla(left, right)
+        with pltpu.force_tpu_interpret_mode():
+            out = bc._combine_pallas(left, right)
+        for nm, r, o in zip("A b C J eta".split(), ref, out):
+            assert np.isfinite(np.asarray(o)).all(), nm
+            np.testing.assert_allclose(o, r, rtol=2e-5, atol=2e-5,
+                                       err_msg=nm)
+
     def test_broadcast_batch_dims(self):
         """Step-4 shape of the chunked scan: left (1, G, ...) broadcast
         against right (C, G, ...)."""
@@ -512,3 +539,55 @@ class TestBankSmoother:
         for r, o in zip(ref, out):
             np.testing.assert_allclose(o, np.broadcast_to(r, o.shape),
                                        rtol=2e-5, atol=2e-5)
+
+
+class TestWindowedParents:
+    """ops/resample_gather.py: windowed parent construction vs the XLA
+    scatter formulation (interpret mode on CPU)."""
+
+    @staticmethod
+    def _counts(key, n):
+        w = jr.dirichlet(key, jnp.ones(n) * 0.5)
+        cdf = jnp.cumsum(w)
+        cdf = cdf / cdf[-1]
+        return jax.lax.cummax(jnp.clip(jnp.ceil(n * cdf - 0.3), 0, n))
+
+    @pytest.mark.parametrize("n", [4096, 5000])
+    def test_matches_scatter(self, n):
+        from bayesianfiltering_tpu.ops import resample_gather as rg
+        from bayesianfiltering_tpu.utils import resampling as rs
+
+        counts = self._counts(jr.PRNGKey(0), n)
+        ref = rs._scatter_counts_to_parents(counts, n)
+        with pltpu.force_tpu_interpret_mode():
+            out = rg.windowed_parents(counts, n)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_skew_overflow_falls_back(self):
+        """All mass on the last particle: every output's parent is n-1,
+        the per-tile parent span (0 -> n-1) overflows the static window,
+        and the cond must take the scatter branch — same answer."""
+        from bayesianfiltering_tpu.ops import resample_gather as rg
+        from bayesianfiltering_tpu.utils import resampling as rs
+
+        n = 4096
+        counts = jnp.concatenate(
+            [jnp.zeros(n - 1), jnp.full((1,), float(n))])
+        ref = rs._scatter_counts_to_parents(counts, n)
+        with pltpu.force_tpu_interpret_mode():
+            out = rg.windowed_parents(counts, n)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        assert int(ref[0]) == n - 1
+
+    def test_resampler_dispatch_unchanged_on_cpu(self):
+        """On the CPU backend the eligibility gate keeps the scatter
+        path — systematic_resample output is bit-identical pre/post
+        dispatch wiring."""
+        from bayesianfiltering_tpu.utils import resampling as rs
+
+        w = jr.dirichlet(jr.PRNGKey(2), jnp.ones(512))
+        idx = rs.systematic_resample(jr.PRNGKey(3), w, 512)
+        assert idx.shape == (512,)
+        assert int(idx.min()) >= 0 and int(idx.max()) < 512
+        # parents must be sorted for systematic resampling
+        assert bool(jnp.all(jnp.diff(idx) >= 0))
