@@ -51,11 +51,28 @@ def _inverse_cdf(weights: jax.Array, positions: jax.Array) -> jax.Array:
 def _counts_to_parents(counts: jax.Array, num_samples: int) -> jax.Array:
     """Expand cumulative child counts into a parent index per output slot.
 
-    ``counts[i]`` = number of output slots assigned to particles 0..i.
-    Output slot j gets parent ``min{i : counts[i] > j}``, materialized with
-    one scatter-add + one cumsum — O(N), no sort, no searchsorted. This is
-    the TPU-native core of the low-variance resamplers.
+    ``counts[i]`` = number of output slots assigned to particles 0..i;
+    output slot j gets parent ``min{i : counts[i] > j}``. On TPU at
+    ``num_samples ≥ 2^16`` this dispatches to the windowed Pallas count
+    kernel (ops/resample_gather.py): the scatter-add formulation below is
+    row-granular-DMA bound in-scan (9.05 ms/step at 1M, BENCHLOG round 5)
+    while the windowed count is dense VPU work.
     """
+    from bayesianfiltering_tpu.ops.resample_gather import (
+        windowed_parents,
+        windowed_parents_eligible,
+    )
+
+    if windowed_parents_eligible(num_samples, counts):
+        return windowed_parents(counts, num_samples)
+    return _scatter_counts_to_parents(counts, num_samples)
+
+
+def _scatter_counts_to_parents(counts: jax.Array, num_samples: int) -> jax.Array:
+    """The XLA scatter formulation: one scatter-add + one cumsum — O(N),
+    no sort, no searchsorted. The general-backend path and the in-``cond``
+    fallback of the windowed kernel when weight skew overflows its static
+    window."""
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), counts[:-1].astype(jnp.int32)]
     )

@@ -108,8 +108,12 @@ def main():
 
     rows = []
     for stage in ("base", "counts", "parents", "gather"):
-        sl, w1, w2 = _slope(stage_scan(stage), args.T1, args.T2,
-                            lw0, particles0)
+        try:
+            sl, w1, w2 = _slope(stage_scan(stage), args.T1, args.T2,
+                                lw0, particles0)
+        except Exception as e:  # transient tunnel/compile errors
+            print(f"{stage:8s} FAILED: {str(e)[:120]}", flush=True)
+            continue
         rows.append((stage, sl))
         print(f"{stage:8s} {sl * 1e3:8.3f} ms/step   "
               f"(T1 wall {w1:6.3f} s, T2 wall {w2:6.3f} s)", flush=True)
@@ -129,12 +133,12 @@ def main():
         em = em_T2[:T]
 
         @jax.jit
-        def run(e):
+        def _run(e):
             return bootstrap_particle_filter(
                 bpfp, e, n, jr.PRNGKey(1), ess_threshold=2.0,
                 store="summary")["means"]
 
-        return run
+        return lambda: _run(em)
 
     sl, w1, w2 = _slope(real, args.T1, args.T2)
     print(f"{'full BPF':8s} {sl * 1e3:8.3f} ms/step  = {1.0 / sl:,.0f} "

@@ -563,10 +563,9 @@ class TestWindowedParents:
             out = rg.windowed_parents(counts, n)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
-    def test_skew_overflow_falls_back(self):
-        """All mass on the last particle: every output's parent is n-1,
-        the per-tile parent span (0 -> n-1) overflows the static window,
-        and the cond must take the scatter branch — same answer."""
+    def test_extreme_concentration_stays_on_kernel(self):
+        """All mass on the last particle: every parent is n−1, the window
+        centers on it (span ~1) and the kernel branch handles it."""
         from bayesianfiltering_tpu.ops import resample_gather as rg
         from bayesianfiltering_tpu.utils import resampling as rs
 
@@ -578,6 +577,53 @@ class TestWindowedParents:
             out = rg.windowed_parents(counts, n)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
         assert int(ref[0]) == n - 1
+
+    def test_spread_skew_overflows_window_falls_back(self):
+        """Weight on every 4th particle: a tile of B outputs draws parents
+        spanning ~4B > W source indices, the span check trips, and the
+        cond takes the scatter branch — same answer."""
+        from bayesianfiltering_tpu.ops import resample_gather as rg
+        from bayesianfiltering_tpu.utils import resampling as rs
+
+        n = 8192
+        # particle 0 owns 3/4 of the outputs; the rest are spread thinly
+        # over all other particles, so tail-region parents advance ~4
+        # source indices per output slot — a B-output tile there spans
+        # ~4B > W parent indices.
+        i = jnp.arange(n, dtype=jnp.float32)
+        counts = jnp.ceil(0.75 * n + (i / (n - 1)) * 0.25 * n)
+        counts = jax.lax.cummax(jnp.clip(counts, 0, n))
+        # confirm the premise: some tile's parent span exceeds the window
+        p_lo = np.searchsorted(np.asarray(counts),
+                               np.arange(0, n + rg._B, rg._B), side="right")
+        s = (p_lo[:-1] // rg._ALIGN) * rg._ALIGN
+        assert (p_lo[1:] - s).max() > rg._W
+        ref = rs._scatter_counts_to_parents(counts, n)
+        with pltpu.force_tpu_interpret_mode():
+            out = rg.windowed_parents(counts, n)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_unassigned_tail_slot_backfills_like_scatter(self):
+        """f32 rounding in ceil(n·cdf − u0) can leave the final cumulative
+        count at n−1, so the last output slot is unassigned. The scatter
+        path backfills it with parent n−1; the count formula naturally
+        returns n (out of range → a NaN row through jnp.take's fill mode —
+        the round-5 BPF step-7 NaN). Pin the clamp parity."""
+        from bayesianfiltering_tpu.ops import resample_gather as rg
+        from bayesianfiltering_tpu.utils import resampling as rs
+
+        n = 4096
+        w = jr.dirichlet(jr.PRNGKey(9), jnp.ones(n))
+        cdf = jnp.cumsum(w)
+        cdf = cdf / cdf[-1]
+        counts = jax.lax.cummax(jnp.clip(jnp.ceil(n * cdf - 0.5), 0, n))
+        # the rounding edge: the count total saturates at n−1, monotone
+        counts = jnp.minimum(counts, float(n - 1))
+        ref = rs._scatter_counts_to_parents(counts, n)
+        with pltpu.force_tpu_interpret_mode():
+            out = rg.windowed_parents(counts, n)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        assert int(out[-1]) == n - 1
 
     def test_resampler_dispatch_unchanged_on_cpu(self):
         """On the CPU backend the eligibility gate keeps the scatter
