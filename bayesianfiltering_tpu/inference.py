@@ -65,6 +65,7 @@ from bayesianfiltering_tpu.ops.ukf import ParamsUKF
 from bayesianfiltering_tpu.types import PRNGKey
 from bayesianfiltering_tpu.utils.resampling import (
     effective_sample_size,
+    get_counts_fn,
     get_resampler,
 )
 
@@ -954,6 +955,18 @@ def bootstrap_particle_filter(
     default resampler is systematic (single uniform + parallel cumsum;
     ``resampler="multinomial"`` recovers the reference behavior).
 
+    On TPU at ``num_particles ≥ 2^16`` the counts-based resamplers
+    (systematic/stratified) run through the windowed parents kernel with
+    DEFERRAL (ops/resample_gather.py): in the measure-zero event that a
+    step's weight profile is so locally skewed that a 2048-output tile
+    draws parents spanning more than ~4096 source indices, that step's
+    resampling is skipped (weights carry, the ESS trigger fires again
+    next step) rather than paying an in-graph exact fallback whose mere
+    presence costs every step (BENCHLOG round 5). Resampling timing is a
+    free choice for the weighted-particle estimator, so this is exact;
+    persistent pathological skew degrades only variance, and
+    ``resampler="multinomial"`` remains the always-resamples escape.
+
     ``store="all"`` returns time-major ``{"weights": (T, P), "particles":
     (T, P, dx)}`` like the reference; ``store="summary"`` returns
     ``{"means": (T, dx), "ess": (T,)}`` — at 1M particles the full history
@@ -965,10 +978,30 @@ def bootstrap_particle_filter(
     f = params.dynamics_function
     inputs = _process_input(inputs, num_timesteps)
     resample_fn = get_resampler(resampler)
-    # Resampling stays on XLA's scatter+gather: a windowed one-hot MXU
-    # gather kernel, a double-buffered variant, and sorted/unique gather
-    # annotations all TIED it at 1M particles (~15 ms/step) — the cost is
-    # row-granular DMA, which no lane layout fixes (BENCHLOG.md rounds 1-2).
+    counts_fn = get_counts_fn(resampler)
+    # TPU fast path for the counts-based resamplers: the windowed parents
+    # kernel with DEFERRAL (ops/resample_gather.py). The counts→parents
+    # scatter is row-granular DMA (9.05 ms/step at 1M inside the scan) and
+    # ANY exact in-branch fallback leaks its cost into every step (XLA
+    # hoists available-branch computations: scatter +3.6 ms, sort-based
+    # +7 ms, measured — BENCHLOG round 5). So on window overflow
+    # (pathological per-tile weight skew) the step's resampling is
+    # DEFERRED instead: weights carry unchanged, ESS stays low, and the
+    # trigger fires again next step — resampling timing is a free choice
+    # for the weighted-particle estimator, so this is exact. Decided at
+    # the filter boundary, like _filter_vmap_gate. (History: rounds 1-2
+    # measured the GATHER side at a ~5 ms row-granular-DMA floor — one-hot
+    # MXU, double buffering, and sortedness hints all tied; that part
+    # stands.)
+    from bayesianfiltering_tpu.ops.resample_gather import (
+        windowed_parents_eligible,
+        windowed_parents_or_defer,
+    )
+
+    use_windowed = counts_fn is not None and windowed_parents_eligible(
+        num_particles, emissions,
+        params.initial_mean, params.initial_covariance,
+    )
 
     log_prob_fn = params.emission_distribution_log_prob
     v_log_prob = vmap(log_prob_fn, in_axes=(0, None, None))
@@ -997,12 +1030,23 @@ def bootstrap_particle_filter(
         def do_resample(args):
             lw, p = args
             w = jnp.exp(lw)
+            uniform = jnp.full((num_particles,), -jnp.log(num_particles),
+                               lw.dtype)
+            if use_windowed:
+                counts = counts_fn(key_res, w, num_particles)
+                idx, win_ok = windowed_parents_or_defer(counts,
+                                                       num_particles)
+                resampled = jnp.take(p, idx, axis=0)
+                # deferral merge: on window overflow idx is the identity,
+                # weights must NOT reset — the step becomes a no-op and
+                # the ESS trigger fires again next step.
+                return (
+                    jnp.where(win_ok, uniform, lw),
+                    jnp.where(win_ok, resampled, p),
+                )
             idx = resample_fn(key_res, w, num_particles)
             resampled = jnp.take(p, idx, axis=0)
-            return (
-                jnp.full((num_particles,), -jnp.log(num_particles), lw.dtype),
-                resampled,
-            )
+            return uniform, resampled
 
         def no_resample(args):
             # Pass log weights through UNCHANGED: a log(exp(lw)) round-trip

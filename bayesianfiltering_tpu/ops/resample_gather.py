@@ -132,24 +132,76 @@ def windowed_parents_eligible(num_samples: int, *arrays) -> bool:
     )
 
 
+def _dense_window_bounds(counts_i32, num_samples: int, n_tiles: int):
+    """Per-tile window starts + coverage flag from ONE dense pass.
+
+    Chunk-max bracketing: ``sub2[m] = max(chunk m) = counts[(m+1)K−1]``
+    (counts sorted), so ``p_lo(t) ∈ (r·K, r·K + K]`` with
+    ``r = #{m : sub2[m] ≤ tB}``. Dense reduce + a (n_chunks × n_tiles)
+    compare — no ``searchsorted``: 20 rounds of dependent sparse gathers
+    from the 1M array measured ~3.7 ms/step INSIDE the filter scan
+    (BENCHLOG round 5), the dense form is ~µs.
+    """
+    n = num_samples
+    K = _ALIGN
+    n_chunks = -(-n // K)
+    pad = n_chunks * K - n
+    cpad = jnp.concatenate([counts_i32, jnp.full((pad,), n, jnp.int32)])
+    sub2 = jnp.max(cpad.reshape(n_chunks, K), axis=1)
+    tile_js = (jnp.arange(n_tiles + 1) * _B).astype(jnp.int32)
+    r2 = jnp.sum((sub2[:, None] <= tile_js[None, :]).astype(jnp.int32),
+                 axis=0)
+    s_ext = r2 * K                               # p_lo(t) ∈ (s_ext, s_ext+K]
+    s_arr = s_ext[:-1].astype(jnp.int32)
+    # coverage: p_hi(t) ≤ p_lo(t+1) ≤ s_ext[t+1] + K must fit the window
+    ok = jnp.max(s_ext[1:] + K - s_arr) <= _W
+    return s_arr, ok
+
+
+def windowed_parents_or_defer(counts: jax.Array, num_samples: int):
+    """Parents + coverage flag, NO fallback branch: ``(parents, ok)``.
+
+    When ``ok`` is True, ``parents`` equals the scatter formulation
+    exactly; when False (per-tile parent span overflowed the static
+    window), ``parents`` is the IDENTITY permutation and the caller must
+    treat the step as "cannot resample cheaply" — the bootstrap PF defers
+    that step's resampling (resampling timing is a free choice for the
+    weighted-particle estimator; ESS stays low and triggers again next
+    step).
+
+    Why no exact in-graph fallback: measured on v5e (BENCHLOG round 5),
+    ANY expensive alternative branch inside the per-step ``lax.cond``
+    leaks its cost into EVERY step — the scatter fallback +3.6 ms/step,
+    a sort-based one +7 ms/step, both while never taken (XLA hoists
+    branch computations whose inputs are available; an
+    ``optimization_barrier`` did not stop it). A ``cond`` whose branches
+    are both cheap is free — so the deferral flag is the only overflow
+    mechanism that keeps the fast path fast.
+    """
+    n = num_samples
+    counts_i32 = jnp.clip(counts, 0, n).astype(jnp.int32)
+    n_tiles = -(-n // _B)
+    s_arr, ok = _dense_window_bounds(counts_i32, n, n_tiles)
+    p = _parents_pallas(counts_i32, n, s_arr, n_tiles)
+    return jnp.where(ok, p, jnp.arange(n, dtype=jnp.int32)), ok
+
+
 def windowed_parents(counts: jax.Array, num_samples: int) -> jax.Array:
     """Parents from cumulative counts: ``parent(j) = #{i : counts_i ≤ j}``.
 
     Same contract as the scatter formulation in
     ``utils/resampling._counts_to_parents`` (cumulative counts in, one
-    parent index per output slot out). Dispatches to the windowed Pallas
-    kernel on TPU at ``num_samples ≥ 2^16``; per-call weight skew that
-    overflows the static window falls back to the scatter path inside a
-    ``lax.cond``.
+    parent index per output slot out) — ALWAYS exact: per-call weight
+    skew that overflows the static window falls back to the scatter path
+    inside a ``lax.cond``. Standalone/utility use only; the bootstrap
+    PF's hot loop uses :func:`windowed_parents_or_defer` instead because
+    the fallback branch's mere presence costs ~3.6 ms/step in-scan (see
+    there).
     """
     n = num_samples
     counts_i32 = jnp.clip(counts, 0, n).astype(jnp.int32)
     n_tiles = -(-n // _B)
-    tile_js = (jnp.arange(n_tiles + 1) * _B).astype(jnp.int32)
-    p_lo = jnp.searchsorted(counts_i32, tile_js, side="right").astype(
-        jnp.int32)
-    s_arr = (p_lo[:-1] // _ALIGN) * _ALIGN
-    ok = jnp.max(p_lo[1:] - s_arr) <= _W
+    s_arr, ok = _dense_window_bounds(counts_i32, n, n_tiles)
 
     return lax.cond(
         ok,
@@ -159,4 +211,8 @@ def windowed_parents(counts: jax.Array, num_samples: int) -> jax.Array:
     )
 
 
-__all__ = ["windowed_parents", "windowed_parents_eligible"]
+__all__ = [
+    "windowed_parents",
+    "windowed_parents_or_defer",
+    "windowed_parents_eligible",
+]

@@ -88,15 +88,9 @@ def multinomial_resample(key: PRNGKey, weights: jax.Array, num_samples: int) -> 
     return _inverse_cdf(weights, u)
 
 
-def systematic_resample(key: PRNGKey, weights: jax.Array, num_samples: int) -> jax.Array:
-    """Systematic (low-variance) resampling: one uniform, a strided comb.
-
-    Not present in the reference; this is the TPU-native default for the
-    bootstrap PF. With comb positions ``(u0 + j)/n`` the CDF inversion has
-    the closed form ``counts_i = ceil(n·cdf_i − u0)``, so the whole
-    resampler is one cumsum + one scatter + one cumsum — O(N) with no
-    searchsorted (which is the dominant cost at 1M particles on TPU).
-    """
+def systematic_counts(key: PRNGKey, weights: jax.Array, num_samples: int) -> jax.Array:
+    """Cumulative child counts of systematic resampling (the closed-form
+    comb inversion): ``counts_i = ceil(n·cdf_i − u0)``, monotone."""
     n = num_samples
     u0 = jr.uniform(key, (), dtype=weights.dtype)
     cdf = jnp.cumsum(weights)
@@ -104,17 +98,25 @@ def systematic_resample(key: PRNGKey, weights: jax.Array, num_samples: int) -> j
     # XLA's parallel f32 cumsum can dip by an ulp (re-association); keep the
     # cumulative counts monotone so downstream consumers (e.g. the Pallas
     # windowed gather) see a true CDF.
-    counts = jax.lax.cummax(jnp.clip(jnp.ceil(n * cdf - u0), 0, n))
-    return _counts_to_parents(counts, n)
+    return jax.lax.cummax(jnp.clip(jnp.ceil(n * cdf - u0), 0, n))
 
 
-def stratified_resample(key: PRNGKey, weights: jax.Array, num_samples: int) -> jax.Array:
-    """Stratified resampling: one uniform per stratum ``[j/n, (j+1)/n)``.
+def systematic_resample(key: PRNGKey, weights: jax.Array, num_samples: int) -> jax.Array:
+    """Systematic (low-variance) resampling: one uniform, a strided comb.
 
-    Positions are sorted by construction, so the inversion reduces to the
-    closed-form count ``c_i = ⌊n·cdf_i⌋ + [u_{⌊n·cdf_i⌋} < frac]`` — O(N)
-    like :func:`systematic_resample`.
+    Not present in the reference; this is the TPU-native default for the
+    bootstrap PF. With comb positions ``(u0 + j)/n`` the CDF inversion has
+    the closed form ``counts_i = ceil(n·cdf_i − u0)``, so the whole
+    resampler is one cumsum + a counts→parents inversion — O(N) with no
+    searchsorted (which is the dominant cost at 1M particles on TPU).
     """
+    return _counts_to_parents(
+        systematic_counts(key, weights, num_samples), num_samples)
+
+
+def stratified_counts(key: PRNGKey, weights: jax.Array, num_samples: int) -> jax.Array:
+    """Cumulative child counts of stratified resampling: one uniform per
+    stratum, closed-form ``c_i = ⌊n·cdf_i⌋ + [u_{⌊n·cdf_i⌋} < frac]``."""
     n = num_samples
     u = jr.uniform(key, (n,), dtype=weights.dtype)
     cdf = jnp.cumsum(weights)
@@ -125,14 +127,28 @@ def stratified_resample(key: PRNGKey, weights: jax.Array, num_samples: int) -> j
     in_range = jstar < n
     u_at = u[jnp.clip(jstar, 0, n - 1)]
     counts = jnp.clip(jstar + jnp.where(in_range & (u_at < frac), 1, 0), 0, n)
-    counts = jax.lax.cummax(counts)  # guard against non-monotone f32 cumsum
-    return _counts_to_parents(counts, n)
+    return jax.lax.cummax(counts)  # guard against non-monotone f32 cumsum
+
+
+def stratified_resample(key: PRNGKey, weights: jax.Array, num_samples: int) -> jax.Array:
+    """Stratified resampling: one uniform per stratum ``[j/n, (j+1)/n)``;
+    O(N) like :func:`systematic_resample`."""
+    return _counts_to_parents(
+        stratified_counts(key, weights, num_samples), num_samples)
 
 
 _RESAMPLERS = {
     "multinomial": multinomial_resample,
     "systematic": systematic_resample,
     "stratified": stratified_resample,
+}
+
+# counts-based resamplers expose their cumulative-count core so the
+# bootstrap PF's TPU fast path can run the windowed parents kernel with
+# DEFERRAL instead of an in-graph fallback (ops/resample_gather.py).
+_COUNTS_FNS = {
+    "systematic": systematic_counts,
+    "stratified": stratified_counts,
 }
 
 
@@ -143,6 +159,12 @@ def get_resampler(name: str):
         raise ValueError(
             f"unknown resampler {name!r}; expected one of {sorted(_RESAMPLERS)}"
         ) from None
+
+
+def get_counts_fn(name: str):
+    """The cumulative-count core of a counts-based resampler, or None
+    (e.g. multinomial, which has no closed-form counts)."""
+    return _COUNTS_FNS.get(name)
 
 
 def _resample(weights: jax.Array, particles: jax.Array, key: PRNGKey):
@@ -239,8 +261,11 @@ __all__ = [
     "effective_sample_size",
     "multinomial_resample",
     "systematic_resample",
+    "systematic_counts",
     "stratified_resample",
+    "stratified_counts",
     "get_resampler",
+    "get_counts_fn",
     "_resample",
     "optimal_resampling",
     "resample",

@@ -625,6 +625,57 @@ class TestWindowedParents:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
         assert int(out[-1]) == n - 1
 
+    def test_or_defer_parity_and_deferral_flag(self):
+        """windowed_parents_or_defer: (a) ok=True → parents equal the
+        scatter formulation exactly; (b) window overflow → ok=False and
+        IDENTITY parents (the BPF treats that step as deferred)."""
+        from bayesianfiltering_tpu.ops import resample_gather as rg
+        from bayesianfiltering_tpu.utils import resampling as rs
+
+        n = 4096
+        counts = self._counts(jr.PRNGKey(4), n)
+        ref = rs._scatter_counts_to_parents(counts, n)
+        with pltpu.force_tpu_interpret_mode():
+            out, ok = rg.windowed_parents_or_defer(counts, n)
+        assert bool(ok)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+        n2 = 8192
+        i = jnp.arange(n2, dtype=jnp.float32)
+        bad = jnp.ceil(0.75 * n2 + (i / (n2 - 1)) * 0.25 * n2)
+        bad = jax.lax.cummax(jnp.clip(bad, 0, n2))
+        with pltpu.force_tpu_interpret_mode():
+            out2, ok2 = rg.windowed_parents_or_defer(bad, n2)
+        assert not bool(ok2)
+        np.testing.assert_array_equal(np.asarray(out2), np.arange(n2))
+
+    def test_bpf_windowed_path_matches_scatter_path(self):
+        """The BPF's windowed fast path (deferral design) is bit-equal to
+        the scatter path when no deferral occurs — same keys, same
+        trajectory (interpret mode, gate forced on)."""
+        import bayesianfiltering_tpu.inference as gf
+        from bayesianfiltering_tpu.models import zoo
+        from bayesianfiltering_tpu.ops import resample_gather as rg
+
+        _, _, bpfp = zoo.lorenz96(4, 2)
+        dm, dp, _ = zoo.lorenz96(4, 2, integrator="rk4")
+        em = dm.sample(dp, jr.PRNGKey(3), 8)[1]
+        kw = dict(key=jr.PRNGKey(5), ess_threshold=2.0, store="summary")
+        ref = gf.bootstrap_particle_filter(bpfp, em, 2048, **kw)
+
+        orig = rg.windowed_parents_eligible
+        rg.windowed_parents_eligible = lambda ns, *a: True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                out = gf.bootstrap_particle_filter(bpfp, em, 2048, **kw)
+        finally:
+            rg.windowed_parents_eligible = orig
+        np.testing.assert_allclose(np.asarray(out["means"]),
+                                   np.asarray(ref["means"]),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["ess"]),
+                                   np.asarray(ref["ess"]), rtol=1e-5)
+
     def test_resampler_dispatch_unchanged_on_cpu(self):
         """On the CPU backend the eligibility gate keeps the scatter
         path — systematic_resample output is bit-identical pre/post
