@@ -129,13 +129,13 @@ def main():
     em_T2 = jax.jit(lambda k: dmodel.sample(dparams, k, args.T2)[1])(
         jr.PRNGKey(3))
 
-    def real(T):
+    def real(T, ess_threshold=2.0):
         em = em_T2[:T]
 
         @jax.jit
         def _run(e):
             return bootstrap_particle_filter(
-                bpfp, e, n, jr.PRNGKey(1), ess_threshold=2.0,
+                bpfp, e, n, jr.PRNGKey(1), ess_threshold=ess_threshold,
                 store="summary")["means"]
 
         return lambda: _run(em)
@@ -143,6 +143,23 @@ def main():
     sl, w1, w2 = _slope(real, args.T1, args.T2)
     print(f"{'full BPF':8s} {sl * 1e3:8.3f} ms/step  = {1.0 / sl:,.0f} "
           f"steps/s  (T1 wall {w1:6.3f} s, T2 wall {w2:6.3f} s)")
+
+    # A/B: production (windowed + deferral) vs the scatter path forced,
+    # plus the never-resample baseline (BENCHLOG round 5 final table).
+    import bayesianfiltering_tpu.ops.resample_gather as rg
+
+    sl0, _, _ = _slope(lambda T: real(T, ess_threshold=0.0),
+                       args.T1, args.T2)
+    print(f"{'never-resample':8s} {sl0 * 1e3:8.3f} ms/step")
+    orig = rg.windowed_parents_eligible
+    rg.windowed_parents_eligible = lambda *a: False
+    try:
+        sl2, _, _ = _slope(real, args.T1, args.T2)
+    finally:
+        rg.windowed_parents_eligible = orig
+    print(f"{'scatter-forced':8s} {sl2 * 1e3:8.3f} ms/step  "
+          f"= {1.0 / sl2:,.0f} steps/s   "
+          f"(windowed saves {(sl2 - sl) * 1e3:.3f} ms/step in-filter)")
 
 
 if __name__ == "__main__":
